@@ -1,0 +1,258 @@
+"""Coarse-graining / filtering operators and subgrid-forcing computation.
+
+TPU-native, batched re-design of the reference's numpy operator layer
+(reference `tools/operators.py`): every function here acts on the *last two
+axes* of an array of any leading batch shape ((lev, y, x), (batch, lev, y, x),
+...), is jittable with static sizes, and differentiable. The reference's
+`array_format` decorator loop (`tools/operators.py:30-67`) is replaced by
+plain broadcasting / `vmap`.
+
+Semantics intentionally match the reference (cited per function) including the
+2h-harmonic (Nyquist) zeroing that keeps truncated rFFT fields real and
+invertible (`FILTER_2h_HARMONICS`, reference tools/operators.py:8,125-131).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import make_grid
+from .params import QGParams
+from . import core
+
+__all__ = [
+    "cut_off", "gauss_filter", "model_filter", "gcm_filter", "coarsegrain",
+    "clean_2h", "fft_interpolate", "Operator1", "Operator2", "Operator3",
+    "Operator4", "Operator5", "OPERATORS", "divergence", "advect",
+    "PV_subgrid_forcing", "PV_subgrid_flux", "coarse_fields", "ave_lev",
+]
+
+FILTER_2h_HARMONICS = True
+
+
+def _rfft2(x):
+    return jnp.fft.rfftn(x, axes=(-2, -1))
+
+
+def _irfft2(xh, ny, nx):
+    return jnp.fft.irfftn(xh, s=(ny, nx), axes=(-2, -1))
+
+
+def ave_lev(arr, delta: float):
+    """Depth-weighted average over a leading `lev` axis of size 2
+    (reference tools/operators.py:12-27)."""
+    w1 = delta / (1.0 + delta)
+    w2 = 1.0 / (1.0 + delta)
+    return w1 * arr[..., 0, :, :] + w2 * arr[..., 1, :, :]
+
+
+# --------------------------------------------------------------------------
+# same-resolution filters
+# --------------------------------------------------------------------------
+
+def gauss_filter(X, nc: int):
+    """Spectral Gaussian filter with width `ratio = n/nc` grid steps:
+    multiply by exp(-wv^2 (ratio*dx)^2 / 24) (reference tools/operators.py:84-90).
+    Resolution is unchanged. Note wv*dx is L-independent."""
+    n = X.shape[-1]
+    ratio = n / nc
+    g = make_grid(n)
+    transm = np.exp(-g.wv2 * (ratio * g.dx) ** 2 / 24.0)
+    Xf = _rfft2(X)
+    return _irfft2(Xf * jnp.asarray(transm, Xf.real.dtype), X.shape[-2], n)
+
+
+def model_filter(X, nc: int | None = None, filterfac: float = 23.6):
+    """Apply the solver's exponential ssd filter at the input resolution
+    (reference tools/operators.py:92-99). `nc` ignored (API parity)."""
+    n = X.shape[-1]
+    g = make_grid(n, filterfac=filterfac)
+    Xf = _rfft2(X)
+    return _irfft2(Xf * jnp.asarray(g.filtr, Xf.real.dtype), X.shape[-2], n)
+
+
+def gcm_filter(X, nc: int):
+    """Gaussian filter of scale `ratio` grid steps, spectral approximation of
+    gcm_filters' diffusion-based Gaussian (reference tools/operators.py:73-82;
+    gcm_filters defines its Gaussian target as exp(-k^2 scale^2 / 24), which is
+    exactly `gauss_filter`)."""
+    return gauss_filter(X, nc)
+
+
+def clean_2h(X, nc: int | None = None):
+    """Zero the non-invertible pure-real Nyquist harmonics (l=Nyq, k=0) and the
+    whole k=Nyquist column (reference tools/operators.py:192-202)."""
+    ny, nx = X.shape[-2], X.shape[-1]
+    Xf = _rfft2(X)
+    n = nx // 2
+    Xf = Xf.at[..., n, 0].set(0)
+    Xf = Xf.at[..., :, n].set(0)
+    return _irfft2(Xf, ny, nx)
+
+
+# --------------------------------------------------------------------------
+# resolution-changing operators
+# --------------------------------------------------------------------------
+
+def coarsegrain(X, nc: int):
+    """Box-average coarse-graining by an integer factor, then 2h cleaning
+    (reference tools/operators.py:102-115)."""
+    ny, nx = X.shape[-2], X.shape[-1]
+    if nx % nc != 0:
+        raise ValueError("input size must be divisible by nc")
+    r = nx // nc
+    Y = X.reshape(X.shape[:-2] + (nc, r, nc, r)).mean(axis=(-3, -1))
+    if FILTER_2h_HARMONICS:
+        Y = clean_2h(Y)
+    return Y
+
+
+def cut_off(X, nc: int):
+    """Sharp spectral truncation to an nc x nc grid with amplitude rescaling
+    1/ratio^2 and 2h-harmonic zeroing (reference tools/operators.py:117-132)."""
+    if nc % 2 != 0:
+        raise ValueError("nc must be even")
+    nx = X.shape[-1]
+    ratio = nx / nc
+    n = nc // 2
+    Xf = _rfft2(X)
+    trunc = jnp.concatenate(
+        [Xf[..., :n, :n + 1], Xf[..., -n:, :n + 1]], axis=-2) / ratio ** 2
+    if FILTER_2h_HARMONICS:
+        trunc = trunc.at[..., n, 0].set(0)
+        trunc = trunc.at[..., :, n].set(0)
+    return _irfft2(trunc, nc, nc)
+
+
+def fft_interpolate(x, n: int, N: int, truncate_2h: bool = True):
+    """FFT regridding n^2 -> N^2 (zero-pad or truncate), preserving resolved
+    harmonics exactly; used by 3/2-rule dealiasing
+    (reference tools/operators.py:134-190)."""
+    if x.shape[-2] != n or x.shape[-1] != n:
+        raise ValueError("input must be n*n points")
+    if n % 2 != 0 or N % 2 != 0:
+        raise ValueError("grid sizes must be even")
+    nn = min(n // 2, N // 2)
+    xf = _rfft2(x)
+    if truncate_2h:
+        xf = xf.at[..., nn, 0].set(0)
+    shape = x.shape[:-2] + (N, N // 2 + 1)
+    Xf = jnp.zeros(shape, dtype=xf.dtype)
+    Xf = Xf.at[..., :nn, :nn + 1].set(xf[..., :nn, :nn + 1])
+    Xf = Xf.at[..., N - nn:, :nn + 1].set(xf[..., n - nn:, :nn + 1])
+    if truncate_2h:
+        Xf = Xf.at[..., nn, 0].set(0)
+        Xf = Xf.at[..., :, nn].set(0)
+    return _irfft2(Xf, N, N) * (N / n) ** 2
+
+
+# --------------------------------------------------------------------------
+# composite operators (reference tools/operators.py:204-217)
+# --------------------------------------------------------------------------
+
+def Operator1(X, nc: int):
+    """ssd-filter o sharp truncation (the paper's 'model filter' operator)."""
+    return model_filter(cut_off(X, nc))
+
+
+def Operator2(X, nc: int):
+    """Gaussian (width 2 coarse cells) o sharp truncation."""
+    return gauss_filter(cut_off(X, nc), nc // 2)
+
+
+def Operator3(X, nc: int):
+    """Box coarsegraining o Gaussian filter."""
+    return coarsegrain(gcm_filter(X, nc), nc)
+
+
+def Operator4(X, nc: int):
+    return model_filter(Operator2(X, nc))
+
+
+def Operator5(X, nc: int):
+    """Pure sharp spectral truncation."""
+    return cut_off(X, nc)
+
+
+OPERATORS = {f.__name__: f for f in
+             (Operator1, Operator2, Operator3, Operator4, Operator5)}
+
+
+# --------------------------------------------------------------------------
+# subgrid forcing diagnostics (reference tools/operators.py:241-330)
+# --------------------------------------------------------------------------
+
+def divergence(fx, fy):
+    """Spectral divergence d/dx fx + d/dy fy over the last two axes."""
+    ny, nx = fx.shape[-2], fx.shape[-1]
+    g = make_grid(nx, ny, L=1e6)
+    Fx, Fy = _rfft2(fx), _rfft2(fy)
+    ik = jnp.asarray(g.ik, Fx.dtype)
+    il = jnp.asarray(g.il, Fy.dtype)
+    return _irfft2(Fx * ik + Fy * il, ny, nx)
+
+
+def advect(var, u, v, dealias: str = "none"):
+    """Flux-form advection tendency div(u*var, v*var) with optional dealiasing
+    (reference tools/operators.py:249-268). Note the sign convention follows
+    the reference: this returns +div(u q, v q); `PV_subgrid_forcing`
+    differences two of these, so the convention cancels."""
+    if dealias == "none":
+        return divergence(var * u, var * v)
+    if dealias == "2/3-rule":
+        ny, n = u.shape[-2], u.shape[-1]
+        g = make_grid(n, ny, filterfac=1e20)
+        f = jnp.asarray(g.filtr)
+
+        def flt(x):
+            return _irfft2(_rfft2(x) * f, ny, n)
+
+        _var, _u, _v = flt(var), flt(u), flt(v)
+        return flt(divergence(_var * _u, _var * _v))
+    if dealias == "3/2-rule":
+        n = u.shape[-1]
+        N = int((n * 3) // 2)
+        _var = fft_interpolate(var, n, N)
+        _u = fft_interpolate(u, n, N)
+        _v = fft_interpolate(v, n, N)
+        var_u = fft_interpolate(_var * _u, N, n)
+        var_v = fft_interpolate(_var * _v, N, n)
+        return divergence(var_u, var_v)
+    raise ValueError("dealias should be none, 2/3-rule or 3/2-rule")
+
+
+def coarse_fields(q, nc: int, operator: Callable, p: QGParams):
+    """Coarse-grain PV with `operator` and invert on the nc-grid, returning
+    (q̄, ū, v̄, ψ̄) — the TPU equivalent of `apply_operator_to_model`
+    (reference tools/operators.py:219-236) without object construction."""
+    pc = p.replace(nx=nc, ny=None)
+    qf = operator(q, nc) if operator is not None else q
+    st = core.init_state(qf, pc)
+    flds = core.fields(st.qh, pc)
+    psi = jnp.fft.irfftn(flds.ph, s=(nc, nc), axes=(-2, -1)).astype(pc.dtype_real)
+    return flds.q, flds.u, flds.v, psi
+
+
+def PV_subgrid_forcing(q, nc: int, operator: Callable, p: QGParams,
+                       dealias: str = "none"):
+    """Subgrid PV forcing S = adv(q̄, ū, v̄) − filter(adv(q, u, v))
+    (reference tools/operators.py:283-287). Returns (S, (q̄, ū, v̄, ψ̄))."""
+    ph = p.replace(nx=q.shape[-1], ny=None)
+    qh_, uh_, vh_, _ = coarse_fields(q, q.shape[-1], None, ph)
+    qc, uc, vc, psic = coarse_fields(q, nc, operator, p)
+    forcing = advect(qc, uc, vc, dealias) - operator(
+        advect(qh_, uh_, vh_, dealias), nc)
+    return forcing, (qc, uc, vc, psic)
+
+
+def PV_subgrid_flux(q, nc: int, operator: Callable, p: QGParams):
+    """Subgrid PV fluxes (ū q̄ − filter(u q), v̄ q̄ − filter(v q))
+    (reference tools/operators.py:270-281)."""
+    ph = p.replace(nx=q.shape[-1], ny=None)
+    qh_, uh_, vh_, _ = coarse_fields(q, q.shape[-1], None, ph)
+    qc, uc, vc, _ = coarse_fields(q, nc, operator, p)
+    uqflux = uc * qc - operator(uh_ * qh_, nc)
+    vqflux = vc * qc - operator(vh_ * qh_, nc)
+    return uqflux, vqflux

@@ -1,0 +1,143 @@
+"""Isotropic spectral analysis: `spectrum` and `calc_ispec`.
+
+Host-side (numpy) analysis layer mirroring the reference's
+`tools/spectral_tools.py` contract:
+
+* 2D spectra are formed from `rfftn/M` products (power / energy / cospectrum /
+  cross-layer), averaged over run & time;
+* `calc_ispec` bins them onto isotropic wavenumber rings; in the default
+  summation mode Parseval holds:  signal.var() == phr.sum() * dkr
+  (documented invariant, reference tools/spectral_tools.py:133-134) — this is
+  enforced by tests here, which the reference lacked.
+
+The ring binning is vectorized with `np.bincount` instead of the reference's
+python loop over bins (tools/spectral_tools.py:159-170) — same bins, same
+conjugate-symmetry bookkeeping, ~100x faster on big grids.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import xrlite as xr
+from .grid import SpectralGrid, make_grid
+from .params import AVERAGE_SLICE_ANDREW
+
+__all__ = ["spectrum", "calc_ispec"]
+
+
+def calc_ispec(grid: SpectralGrid | int, _var_dens: np.ndarray,
+               averaging: bool = True, truncate: bool = True,
+               nd_wavenumber: bool = False, nfactor: int = 1):
+    """Isotropic ring spectrum from a 2D rfft-layout spectral density.
+
+    Normalization (summation mode): signal2d.var() = phr.sum() * (kr[1]-kr[0]).
+    Accounts for rfft conjugate symmetry by halving the k=0 and k=Nyquist
+    columns and doubling ring sums. Returns (kr, phr) with kr at bin centers.
+    """
+    if isinstance(grid, int):
+        grid = make_grid(grid)
+    var_dens = np.array(_var_dens, dtype=np.float64, copy=True)
+    var_dens[..., 0] /= 2.0
+    var_dens[..., -1] /= 2.0
+
+    ll_max = np.abs(grid.ll).max()
+    kk_max = np.abs(grid.kk).max()
+    kmax = min(ll_max, kk_max) if truncate else np.hypot(ll_max, kk_max)
+    kmin = min(grid.dk, grid.dl)
+    dkr = np.hypot(grid.dk, grid.dl) * nfactor
+
+    kr = np.arange(kmin, kmax - dkr, dkr)  # left bin borders
+    nbins = kr.size
+    wv = grid.wv.ravel()
+    dens = var_dens.reshape(var_dens.shape[:-2] + (-1,))
+
+    # bin index: bin i covers [kr[i], kr[i]+dkr)
+    idx = np.floor((wv - kmin) / dkr).astype(np.int64)
+    valid = (wv >= kmin) & (idx >= 0) & (idx < nbins)
+    idx = np.where(valid, idx, nbins)  # overflow bin discarded
+
+    def _bin(arr1d, weights=None):
+        return np.bincount(idx, weights=arr1d, minlength=nbins + 1)[:nbins]
+
+    counts = _bin(valid.astype(np.float64))
+    lead = dens.shape[:-1]
+    phr = np.zeros(lead + (nbins,))
+    for index in np.ndindex(*lead) if lead else [()]:
+        row = np.where(valid, dens[index], 0.0)
+        sums = _bin(row)
+        if averaging:
+            # ring average times annulus area (reference mode for plots).
+            # NOTE: the reference uses a closed right edge (<=) in averaging
+            # mode; the boundary points have negligible weight and the mode is
+            # non-Parseval by construction.
+            means = np.divide(sums, counts, out=np.zeros(nbins), where=counts > 0)
+            phr[index] = means * (kr + dkr / 2) * np.pi / (grid.dk * grid.dl)
+        else:
+            phr[index] = sums / dkr
+    phr *= 2.0
+
+    kr = kr + dkr / 2
+    if nd_wavenumber:
+        kr = kr / kmin
+        phr = phr * kmin
+    return kr, phr
+
+
+class spectrum:
+    """Isotropized statistics of (run, time, lev, y, x) DataArrays.
+
+    types: 'power' |x̂|², 'energy' |x̂|²/2, 'cospectrum' Re[conj(x̂)ŷ],
+    'cross_layer' Re[conj(x̂₀)x̂₁]. (reference tools/spectral_tools.py:7-101)
+    """
+
+    def __init__(self, type: str = "power", averaging: bool = False,
+                 truncate: bool = False, time=AVERAGE_SLICE_ANDREW):
+        self.type = type
+        self.averaging = averaging
+        self.truncate = truncate
+        self.time = time
+
+    def _fft2d(self, arr: xr.DataArray) -> np.ndarray:
+        M = arr.shape[-1] * arr.shape[-2]
+        x = arr.isel(time=self.time).values.astype("float64")
+        return np.fft.rfftn(x, axes=(-2, -1)) / M
+
+    def __call__(self, *arrays: xr.DataArray, name: str = "",
+                 description: str = "", units: str = "") -> xr.DataArray:
+        x = []
+        time = self.time
+        for a in arrays:
+            if "run" not in a.dims:
+                a = a.expand_dims("run")
+            if "time" not in a.dims:
+                a = a.expand_dims("time", axis=1)
+                self.time = slice(0, 1)
+            x.append(a.transpose(*(d for d in ("run", "time", "lev", "y", "x")
+                                   if d in a.dims)))
+        try:
+            if self.type == "power":
+                af2 = np.abs(self._fft2d(x[0])) ** 2
+            elif self.type == "energy":
+                af2 = np.abs(self._fft2d(x[0])) ** 2 / 2
+            elif self.type == "cospectrum":
+                af2 = np.real(np.conj(self._fft2d(x[0])) * self._fft2d(x[1]))
+            elif self.type == "cross_layer":
+                xf = self._fft2d(x[0])
+                af2 = np.real(np.conj(xf[:, :, 0]) * xf[:, :, 1])
+            else:
+                raise ValueError(self.type)
+        finally:
+            self.time = time
+
+        af2 = af2.mean(axis=(0, 1))  # over run, time
+        grid = make_grid(x[0].shape[-1], x[0].shape[-2])
+        attrs = {"long_name": name, "description": description, "units": units}
+        if self.type != "cross_layer":
+            k, sp = calc_ispec(grid, af2, averaging=self.averaging,
+                               truncate=self.truncate)
+            return xr.DataArray(sp, dims=("lev", "k"),
+                                coords={"lev": np.array([1, 2]), "k": k},
+                                attrs=attrs)
+        k, sp = calc_ispec(grid, af2, averaging=self.averaging,
+                           truncate=self.truncate)
+        return xr.DataArray(sp, dims=("k",), coords={"k": k}, attrs=attrs)

@@ -1,0 +1,66 @@
+import numpy as np
+
+from pyqg_generative_tpu.utils import xrlite as xr
+
+
+def test_dataarray_basics(rng):
+    d = xr.DataArray(rng.standard_normal((3, 4, 5)), dims=("run", "y", "x"),
+                     coords={"run": np.arange(3)})
+    assert d.sizes() == {"run": 3, "y": 4, "x": 5}
+    m = d.mean(dim=("y", "x"))
+    assert m.dims == ("run",)
+    np.testing.assert_allclose(m.values, d.values.mean(axis=(1, 2)))
+    sub = d.isel(run=slice(0, 2), y=1)
+    assert sub.dims == ("run", "x")
+    assert sub.shape == (2, 5)
+    e = d.expand_dims("time", axis=1)
+    assert e.dims == ("run", "time", "y", "x")
+
+
+def test_arithmetic_broadcasting(rng):
+    a = xr.DataArray(rng.standard_normal((2, 4, 4)), dims=("lev", "y", "x"))
+    b = a.mean(dim=("y", "x"))
+    out = a - b
+    assert out.dims == ("lev", "y", "x")
+    np.testing.assert_allclose(out.values,
+                               a.values - b.values[:, None, None])
+    sq = (a ** 2 + 1.0) / 2.0
+    np.testing.assert_allclose(sq.values, (a.values ** 2 + 1) / 2)
+
+
+def test_dataset_npz_roundtrip(tmp_path, rng):
+    ds = xr.Dataset(attrs={"pyqg_params": "{'nx': 64}"})
+    ds["q"] = xr.DataArray(rng.standard_normal((2, 3, 8, 8)).astype("float32"),
+                           dims=("time", "lev", "y", "x"),
+                           coords={"time": np.arange(2.0)})
+    ds["KEspec"] = xr.DataArray(rng.standard_normal((2, 8, 5)),
+                                dims=("lev", "l", "k"))
+    path = str(tmp_path / "out.npz")
+    ds.to_npz(path)
+    back = xr.Dataset.from_npz(path)
+    assert back.attrs["pyqg_params"] == ds.attrs["pyqg_params"]
+    np.testing.assert_array_equal(back["q"].values, ds["q"].values)
+    assert back["q"].dims == ("time", "lev", "y", "x")
+    np.testing.assert_array_equal(back["q"].coords["time"], [0.0, 1.0])
+
+
+def test_concat_time_and_run(rng):
+    mk = lambda t: xr.Dataset({"q": xr.DataArray(
+        np.full((1, 2, 4, 4), t, dtype=float), dims=("time", "lev", "y", "x"),
+        coords={"time": np.array([t])})})
+    ds = xr.concat([mk(0.0), mk(1.0), mk(2.0)], "time")
+    assert ds["q"].shape == (3, 2, 4, 4)
+    np.testing.assert_array_equal(ds["q"].coords["time"], [0, 1, 2])
+    runs = xr.concat([ds, ds], "run")
+    assert runs["q"].dims == ("run", "time", "lev", "y", "x")
+    assert runs["q"].shape == (2, 3, 2, 4, 4)
+
+
+def test_open_mfdataset(tmp_path, rng):
+    for i in range(3):
+        ds = xr.Dataset({"q": xr.DataArray(
+            np.full((2, 4, 4), float(i)), dims=("lev", "y", "x"))})
+        ds.to_npz(str(tmp_path / f"{i}.npz"))
+    out = xr.open_mfdataset(str(tmp_path / "*.npz"), "run")
+    assert out["q"].shape == (3, 2, 4, 4)
+    np.testing.assert_array_equal(out["q"].values[:, 0, 0, 0], [0, 1, 2])
