@@ -1,0 +1,230 @@
+"""Neural network building blocks (flax.linen, NHWC, TPU-friendly dtypes).
+
+Re-designed equivalents of the reference's PyTorch stacks
+(`tools/cnn_tools.py:125-319`, `tools/deep_inversion.py`): same architectures
+and receptive fields — circular padding on all translation-equivariant convs,
+conv->ReLU->BatchNorm ordering, DCGAN discriminator sized for nx in
+{48, 64, 96} — but NHWC layout, bf16-capable compute dtype and functional
+params so they fuse into the solver's XLA program for online coupling.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..qg.grid import make_grid
+
+__all__ = ["AndrewCNN", "VarCNN", "ANN", "DCGANDiscriminator",
+           "DeepInversionGenerator", "dcgan_normal_init"]
+
+
+def dcgan_normal_init(std: float = 0.02):
+    """N(0, 0.02) conv init (DCGAN recipe; reference tools/cnn_tools.py:54-65)."""
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def _norm(bn: str, dtype):
+    if bn == "BatchNorm":
+        return nn.BatchNorm(use_running_average=None, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype,
+                            scale_init=nn.initializers.normal(0.02, jnp.float32),
+                            use_fast_variance=False)
+    if bn == "LayerNorm":
+        return nn.LayerNorm(dtype=dtype)
+    if bn == "None":
+        return None
+    raise ValueError(f"unknown norm {bn}")
+
+
+class AndrewCNN(nn.Module):
+    """8-layer circular CNN (kernels [5,5,3x6], channels [128,64,32x5]),
+    ReLU + BatchNorm after each hidden conv (reference tools/cnn_tools.py:125-182).
+
+    `div=True` doubles the output channels, interprets them as a vector field
+    (fx, fy) and returns 10000 * spectral divergence — gradients land on a
+    physically meaningful flux (reference tools/cnn_tools.py:100-123,164-176).
+    """
+    n_out: int
+    hidden_channels: Sequence[int] = (128, 64, 32, 32, 32, 32, 32)
+    kernels: Sequence[int] = (5, 5, 3, 3, 3, 3, 3, 3)
+    batch_norm: bool = True
+    bias: bool = True
+    relu: str = "ReLU"
+    final_activation: str = "None"
+    div: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n_out = self.n_out * 2 if self.div else self.n_out
+        chans = list(self.hidden_channels) + [n_out]
+        for i, (c, k) in enumerate(zip(chans, self.kernels)):
+            last = i == len(chans) - 1
+            x = nn.Conv(c, (k, k), padding="CIRCULAR", use_bias=self.bias,
+                        dtype=self.dtype,
+                        kernel_init=dcgan_normal_init())(x)
+            if not last:
+                if self.relu == "ReLU":
+                    x = nn.relu(x)
+                elif self.relu == "LeakyReLU":
+                    x = nn.leaky_relu(x, 0.2)
+                if self.batch_norm:
+                    x = _norm("BatchNorm", self.dtype)(
+                        x, use_running_average=not train)
+        if self.final_activation != "None":
+            x = getattr(nn, self.final_activation)(x)
+        if self.div:
+            x = 10000.0 * spectral_divergence(x.astype(jnp.float32))
+        return x
+
+
+def spectral_divergence(x):
+    """NHWC tensor with 2*C channels -> C channels: d/dx of the first half
+    plus d/dy of the second half, via rFFT (reference tools/cnn_tools.py:100-123).
+    Physical derivatives on the reference L=1e6 m domain."""
+    ny, nx, c2 = x.shape[-3], x.shape[-2], x.shape[-1]
+    c = c2 // 2
+    g = make_grid(nx, ny, L=1e6)
+    xh = jnp.fft.rfftn(jnp.moveaxis(x, -1, -3), axes=(-2, -1))
+    ik = jnp.asarray(g.ik, xh.dtype)
+    il = jnp.asarray(g.il, xh.dtype)
+    div_h = xh[..., :c, :, :] * ik + xh[..., c:, :, :] * il
+    div = jnp.fft.irfftn(div_h, s=(ny, nx), axes=(-2, -1))
+    return jnp.moveaxis(div, -3, -1)
+
+
+def VarCNN(n_out: int, **kw) -> AndrewCNN:
+    """AndrewCNN with a softplus head: nonnegative pointwise conditional
+    variance (GZ model; reference models/mean_var_model.py:14-17)."""
+    kw.setdefault("final_activation", "softplus")
+    return AndrewCNN(n_out=n_out, **kw)
+
+
+class ANN(nn.Module):
+    """Pointwise MLP on flattened stencils; optional scale-invariant form
+    norm(x)^degree * f(x/norm(x)) (reference tools/cnn_tools.py:184-210)."""
+    n_out: int
+    hidden_channels: Sequence[int] = (24, 24)
+    degree: float | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def mlp(z):
+            for h in self.hidden_channels:
+                z = nn.relu(nn.Dense(h, dtype=self.dtype)(z))
+            return nn.Dense(self.n_out, dtype=self.dtype)(z)
+
+        if self.degree is not None:
+            norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            safe = jnp.where(norm == 0, 1.0, norm)
+            return safe ** self.degree * mlp(x / safe)
+        return mlp(x)
+
+
+class DCGANDiscriminator(nn.Module):
+    """DCGAN critic: four stride-2 4x4 convs (zero padding, LeakyReLU 0.2, no
+    sigmoid), final valid conv collapsing the nx/16 map to 1x1 — works for
+    nx in {48, 64, 96} (reference tools/cnn_tools.py:212-244). The GAN closure
+    uses bn='None' (reference models/cgan_regression.py:57)."""
+    ndf: int = 64
+    nx: int = 64
+    bn: str = "None"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        widths = (self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8)
+        for i, w in enumerate(widths):
+            x = nn.Conv(w, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype,
+                        kernel_init=dcgan_normal_init())(x)
+            if i > 0:
+                norm = _norm(self.bn, self.dtype)
+                if norm is not None:
+                    x = norm(x, use_running_average=not train) \
+                        if self.bn == "BatchNorm" else norm(x)
+            x = nn.leaky_relu(x, 0.2)
+        kfin = int(self.nx / 64 * 4)
+        x = nn.Conv(1, (kfin, kfin), padding="VALID", use_bias=False,
+                    dtype=self.dtype, kernel_init=dcgan_normal_init())(x)
+        return x.reshape(x.shape[0], -1)[:, :1]
+
+
+class ResUnit(nn.Module):
+    """Residual unit with circular 3x3 convs:
+    y = norm(x); out = (leaky->conv->norm->leaky->conv)(y) + conv1x1(y)
+    (reference tools/deep_inversion.py:104-124)."""
+    out_ch: int
+    bn: str = "BatchNorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def norm(z):
+            n = _norm(self.bn, self.dtype)
+            if n is None:
+                return z
+            return n(z, use_running_average=not train) \
+                if self.bn == "BatchNorm" else n(z)
+
+        y = norm(x)
+        h = nn.leaky_relu(y, 0.2)
+        h = nn.Conv(self.out_ch, (3, 3), padding="CIRCULAR",
+                    dtype=self.dtype)(h)
+        h = norm(h)
+        h = nn.leaky_relu(h, 0.2)
+        h = nn.Conv(self.out_ch, (3, 3), padding="CIRCULAR",
+                    dtype=self.dtype)(h)
+        shortcut = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype)(y)
+        return h + shortcut
+
+
+class DeepInversionGenerator(nn.Module):
+    """U-Net generator (arXiv 1811.05910 fig. 8): circular residual units,
+    AvgPool downsampling 64->4, ConvTranspose upsampling with skip concat
+    (reference tools/deep_inversion.py:44-101). Translation-equivariant under
+    circular shifts by multiples of 16 (pooling factor); equivariance is
+    tested like the reference's built-in `test()`."""
+    n_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = train
+        x = nn.Conv(32, (3, 3), padding="CIRCULAR", dtype=self.dtype)(x)
+        im64 = ResUnit(32, bn="None", dtype=self.dtype)(x, t)
+
+        def down(z, ch):
+            z = nn.avg_pool(z, (2, 2), strides=(2, 2))
+            return ResUnit(ch, dtype=self.dtype)(z, t)
+
+        im32 = down(im64, 64)
+        im16 = down(im32, 128)
+        im8 = down(im16, 256)
+        im4 = down(im8, 512)
+        im4 = ResUnit(512, dtype=self.dtype)(im4, t)
+
+        def up(z, skip, ch):
+            z = nn.ConvTranspose(z.shape[-1] // 2, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype)(z)
+            z = jnp.concatenate([z, skip], axis=-1)
+            return ResUnit(ch, dtype=self.dtype)(z, t)
+
+        h = up(im4, im8, 256)
+        h = up(h, im16, 128)
+        h = up(h, im32, 64)
+        h = up(h, im64, 32)
+        h = ResUnit(32, bn="None", dtype=self.dtype)(h, t)
+        return nn.Conv(self.n_out, (1, 1), dtype=self.dtype)(h)
+
+
+def count_params(variables) -> int:
+    return sum(int(np.prod(np.asarray(p.shape)))
+               for p in jax.tree_util.tree_leaves(variables))

@@ -1,0 +1,174 @@
+"""Generic training machinery: optax optimizers, scanned epochs, loss logging.
+
+TPU-native replacement of the reference's torch train loop
+(`tools/cnn_tools.py:607-700`): same recipe — Adam with a MultiStep schedule
+dropping the lr at {1/2, 3/4, 7/8} of the epochs, shuffled minibatches, a
+per-epoch test-set evaluation, wall-clock/ETA logging — but each epoch is one
+`lax.scan` over minibatch indices into device-resident data, so the whole
+epoch is a single XLA program with no host round-trips.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..utils import xrlite as xr
+
+__all__ = ["TrainingState", "multistep_adam", "fit", "log_to_dataset",
+           "apply_in_batches", "epoch_permutation"]
+
+
+@struct.dataclass
+class TrainingState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def multistep_adam(lr: float, num_epochs: int, steps_per_epoch: int,
+                   gamma: float = 0.1, b1: float = 0.9, b2: float = 0.999):
+    """Adam with the reference's MultiStepLR schedule (milestones at
+    1/2, 3/4, 7/8 of training; reference tools/cnn_tools.py:670-672)."""
+    bounds = {int(num_epochs * f) * steps_per_epoch: gamma
+              for f in (0.5, 0.75, 0.875)}
+    sched = optax.piecewise_constant_schedule(lr, bounds)
+    return optax.adam(learning_rate=sched, b1=b1, b2=b2)
+
+
+def epoch_permutation(rng: np.random.Generator, n: int, batch_size: int):
+    """Shuffled indices reshaped to (steps, batch) with wrap-around padding so
+    shapes are static and every sample is seen at least once per epoch."""
+    steps = int(np.ceil(n / batch_size))
+    perm = rng.permutation(n)
+    pad = steps * batch_size - n
+    if pad:
+        perm = np.concatenate([perm, rng.choice(n, pad, replace=False)
+                               if pad <= n else rng.integers(0, n, pad)])
+    return perm.reshape(steps, batch_size)
+
+
+def init_training_state(model, tx, rng_key, sample_input, train_kw=None):
+    variables = model.init(rng_key, sample_input, train=True, **(train_kw or {}))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainingState(params=params, batch_stats=batch_stats,
+                         opt_state=tx.init(params),
+                         step=jnp.zeros((), jnp.int32))
+
+
+def fit(loss_fn: Callable, state: TrainingState, tx,
+        train_arrays: tuple, test_arrays: tuple,
+        num_epochs: int, batch_size: int,
+        rng: np.random.Generator | None = None,
+        key: jax.Array | None = None,
+        epoch_hook: Callable | None = None,
+        log_dict: dict | None = None,
+        verbose: bool = True):
+    """Run the generic training loop.
+
+    loss_fn(params, batch_stats, key, batch, train) ->
+        (loss, (metrics_dict, new_batch_stats))
+    train_arrays / test_arrays: tuples of same-leading-dim device arrays; each
+    minibatch is the tuple gathered at the shuffled indices.
+    epoch_hook(state, epoch) -> dict of extra metrics (host-side, optional).
+    Returns (state, log_dict) with per-epoch series (reference AverageLoss /
+    log_to_xarray semantics, tools/cnn_tools.py:555-602,12-19).
+    """
+    rng = rng or np.random.default_rng(0)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    n = int(train_arrays[0].shape[0])
+    steps = int(np.ceil(n / batch_size))
+    log = log_dict if log_dict is not None else {}
+
+    @jax.jit
+    def train_epoch(state, perm, key):
+        def body(carry, idx):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            batch = tuple(a[idx] for a in train_arrays)
+
+            def lfn(params):
+                return loss_fn(params, st.batch_stats, sub, batch, True)
+
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                lfn, has_aux=True)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            st = TrainingState(params=params, batch_stats=new_bs,
+                               opt_state=opt_state, step=st.step + 1)
+            return (st, k), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, key), perm)
+        return state, {k: v.mean() for k, v in metrics.items()}
+
+    @jax.jit
+    def eval_epoch(state, perm, key):
+        def body(k, idx):
+            k, sub = jax.random.split(k)
+            batch = tuple(a[idx] for a in test_arrays)
+            _, (metrics, _) = loss_fn(state.params, state.batch_stats, sub,
+                                      batch, False)
+            return k, metrics
+
+        _, metrics = jax.lax.scan(body, key, perm)
+        return {k: v.mean() for k, v in metrics.items()}
+
+    n_test = int(test_arrays[0].shape[0]) if test_arrays else 0
+    t_start = time.time()
+    for epoch in range(num_epochs):
+        t_e = time.time()
+        perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
+        key, k1, k2 = jax.random.split(key, 3)
+        state, train_metrics = train_epoch(state, perm, k1)
+        metrics = {k: float(v) for k, v in train_metrics.items()}
+        if n_test:
+            perm_t = jnp.asarray(epoch_permutation(
+                rng, n_test, min(batch_size, n_test)))
+            test_metrics = eval_epoch(state, perm_t, k2)
+            metrics.update({f"{k}_test": float(v)
+                            for k, v in test_metrics.items()})
+        if epoch_hook is not None:
+            metrics.update(epoch_hook(state, epoch))
+        for k, v in metrics.items():
+            log.setdefault(k, []).append(v)
+        if verbose:
+            t = time.time()
+            eta = (t - t_start) * (num_epochs / (epoch + 1) - 1)
+            print(f"[{epoch + 1}/{num_epochs}] [{t - t_e:.2f}/{eta:.2f}] "
+                  + " ".join(f"{k}: {v:.4g}" for k, v in metrics.items()
+                             if "loss" in k))
+    return state, log
+
+
+def log_to_dataset(log: Mapping[str, list]) -> xr.Dataset:
+    """Per-epoch loss series -> Dataset with an `epoch` coordinate
+    (reference tools/cnn_tools.py:12-19)."""
+    ds = xr.Dataset()
+    for k, v in log.items():
+        v = np.asarray(v)
+        ds[k] = xr.DataArray(v, dims=("epoch",),
+                             coords={"epoch": np.arange(1, len(v) + 1)})
+    return ds
+
+
+def apply_in_batches(fn: Callable, *arrays, batch_size: int = 64):
+    """Batched inference over device arrays, concatenated on the host —
+    replaces the reference's `apply_function` (tools/cnn_tools.py:702-735).
+    `fn` maps a tuple of batches to an array or tuple of arrays."""
+    n = arrays[0].shape[0]
+    outs = []
+    for i in range(0, n, batch_size):
+        batch = tuple(a[i:i + batch_size] for a in arrays)
+        y = fn(*batch)
+        y = (y,) if not isinstance(y, (tuple, list)) else y
+        outs.append([np.asarray(v) for v in y])
+    outs = list(zip(*outs))
+    outs = [np.concatenate(o, axis=0) for o in outs]
+    return outs[0] if len(outs) == 1 else outs
