@@ -1,0 +1,3 @@
+from .base import Parameterization, load_model, MODEL_REGISTRY
+from .ols_model import OLSModel
+from .mean_var_model import MeanVarModel
