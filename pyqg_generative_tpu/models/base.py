@@ -153,6 +153,15 @@ class Parameterization:
         pred = self.predict_snapshot(q, noise)
         return pred - pred.mean(axis=(-2, -1), keepdims=True)
 
+    # hooks used by the fused simulation step; ML closures see only q, while
+    # physical closures override these to use the full resolved fields
+    def online_forcing(self, flds, noise, p):
+        return self(flds.q, noise)
+
+    def online_mean_forcing(self, flds, p):
+        pred = self.predict_mean_snapshot(flds.q)
+        return pred - pred.mean(axis=(-2, -1), keepdims=True)
+
     def test_offline(self, ds: xr.Dataset, ensemble_size: int = 1000) -> xr.Dataset:
         """Full offline-metric dataset (reference models/parameterization.py:36-169)."""
         target = "q_forcing_advection"

@@ -28,6 +28,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .core import Fields, QGState, grid_for, invert, _rfft2
@@ -168,11 +169,18 @@ def accumulate(acc: DiagAccumulator, diags: dict) -> DiagAccumulator:
     return acc.replace(sums=sums, count=acc.count + 1.0)
 
 
+def diag_gate(state: QGState, p: QGParams) -> jnp.ndarray:
+    """True when diagnostics should be sampled this step: t >= tavestart and
+    every `taveints` steps (integer step arithmetic — exact in f32 runs)."""
+    start_step = int(np.ceil(p.tavestart / p.dt))
+    return jnp.logical_and(state.tc >= start_step,
+                           state.tc % p.taveints == 0)
+
+
 def maybe_accumulate(acc: DiagAccumulator, state: QGState, diags: dict,
                      p: QGParams) -> DiagAccumulator:
     """Accumulate when t >= tavestart and tc % taveints == 0 (pyqg sampling)."""
-    on = jnp.logical_and(state.t >= p.tavestart,
-                         state.tc % p.taveints == 0)
+    on = diag_gate(state, p)
     w = on.astype(acc.count.dtype)
     sums = {k: acc.sums[k] + w * diags[k] for k in acc.sums}
     return acc.replace(sums=sums, count=acc.count + w)

@@ -1,0 +1,3 @@
+from . import simulate, stochastic
+from .simulate import (run_simulation, run_ensemble,
+                       generate_subgrid_forcing, set_initial_condition)

@@ -1,0 +1,276 @@
+"""Simulation drivers: fused online runs and subgrid-forcing generation.
+
+The reference's hot loop shuttles every solver step between the CPU (pyqg)
+and the GPU (torch CNN) through numpy (reference tools/simulate.py:108-145 +
+models/parameterization.py:23-34) — the central inefficiency this module
+eliminates: here the closure's network, the noise sampler state machine, the
+spectral solver step and the diagnostics accumulate inside ONE jitted
+`lax.scan`, so an entire simulation (all members, all steps, all snapshots)
+is a single XLA program on the TPU.
+
+Public surface mirrors the reference CLI driver:
+* `run_simulation(params, parameterization, q_init, sampling_freq)` -> Dataset
+  of (time, lev, y, x) snapshots (q, u, v, psi) + time-averaged spectral
+  diagnostics + attrs (reference tools/simulate.py:108-145, drop_vars
+  semantics: float32, psi naming, time in days);
+* `run_ensemble(..., n_ens)` -> same with a leading `run` dim, members
+  vmapped on-device (replaces SLURM job arrays, reference
+  scripts/run_parameterized.py:63);
+* `generate_subgrid_forcing(Nc, params, ...)` -> dict of per-(operator,
+  resolution) training datasets (reference tools/simulate.py:62-106).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..qg import core, diagnostics
+from ..qg.grid import make_grid
+from ..qg.operators import OPERATORS, PV_subgrid_forcing
+from ..qg.params import ANDREW_1000_STEPS, DAY, QGParams
+from ..utils import xrlite as xr
+
+__all__ = ["run_simulation", "run_ensemble", "generate_subgrid_forcing",
+           "set_initial_condition", "make_online_step"]
+
+
+def set_initial_condition(p: QGParams, key: int | jax.Array = 0):
+    """JAMES-paper initial condition (reference tools/simulate.py:147-168)."""
+    seed = int(key) if jnp.ndim(key) == 0 else int(np.asarray(key)[-1])
+    return core.default_initial_q(p, rng=np.random.default_rng(seed))
+
+
+def _normalize_parameterization(parameterization):
+    """Accept the reference dict format {'self': model, 'sampling': ...,
+    'nsteps': ...} or a bare model."""
+    if parameterization is None:
+        return None, "AR1", 1
+    if isinstance(parameterization, Mapping):
+        return (parameterization["self"],
+                parameterization.get("sampling", "AR1"),
+                int(parameterization.get("nsteps", 1)))
+    return parameterization, "AR1", 1
+
+
+def make_online_step(p: QGParams, model=None, sampling: str = "AR1",
+                     nsteps: int = 1, with_diags: bool = True):
+    """Build the fused per-step transition on carry
+    (QGState, SamplerState|None, DiagAccumulator|None)."""
+    from .stochastic import sample_forcing
+
+    def step(carry):
+        state, sstate, acc = carry
+        flds = core.fields(state.qh, p)
+
+        forcing_h = None
+        if model is not None:
+            def compute(noise):
+                return model.online_forcing(flds, noise, p).astype(p.dtype_real)
+
+            def mean_fn():
+                return model.online_mean_forcing(flds, p).astype(p.dtype_real)
+
+            forcing, sstate = sample_forcing(model, compute, sstate,
+                                             sampling, nsteps, mean_fn)
+            forcing_h = jnp.fft.rfftn(forcing, axes=(-2, -1)).astype(
+                p.dtype_complex)
+
+        dqhdt = core.advection_tendency(flds.q, flds.u, flds.v, flds.ph, p)
+        dqhdt = dqhdt + core.friction_tendency(flds.ph, p)
+        if forcing_h is not None:
+            dqhdt = dqhdt + forcing_h
+
+        if acc is not None:
+            def add(a):
+                d = diagnostics.compute_diagnostics(
+                    flds, state.qh, p, forcing_h=forcing_h, dqhdt_post=dqhdt)
+                return diagnostics.accumulate(a, d)
+
+            acc = jax.lax.cond(diagnostics.diag_gate(state, p), add,
+                               lambda a: a, acc)
+
+        state = core.ab3_update(state, dqhdt, p)
+        return state, sstate, acc
+
+    return step
+
+
+def _snapshot(state: core.QGState, p: QGParams):
+    flds = core.fields(state.qh, p)
+    g = make_grid(p.nx, p.ny_, p.L, p.W_, p.filterfac)
+    psi = jnp.fft.irfftn(flds.ph, s=(g.ny, g.nx), axes=(-2, -1)).astype(
+        jnp.float32)
+    return {"q": flds.q.astype(jnp.float32), "u": flds.u.astype(jnp.float32),
+            "v": flds.v.astype(jnp.float32), "psi": psi}
+
+
+def _simulate_program(p: QGParams, model, sampling, nsteps,
+                      steps_per_snap: int, n_snaps: int, with_diags: bool):
+    """The whole simulation as one jittable function of (q0, key)."""
+    from .stochastic import init_sampler
+
+    step = make_online_step(p, model, sampling, nsteps, with_diags)
+
+    def run(q0, key):
+        state = core.init_state(q0, p)
+        sstate = None
+        if model is not None:
+            sstate = init_sampler(key, model, p.ny_, p.nx, p.dtype_real)
+        acc = diagnostics.init_diags(p, with_param=model is not None) \
+            if with_diags else None
+
+        def chunk(carry, _):
+            def inner(c, _):
+                return step(c), None
+            carry, _ = jax.lax.scan(inner, carry, None, length=steps_per_snap)
+            return carry, _snapshot(carry[0], p)
+
+        (state, sstate, acc), snaps = jax.lax.scan(
+            chunk, (state, sstate, acc), None, length=n_snaps)
+        diags = diagnostics.finalize(acc) if with_diags else {}
+        return snaps, diags
+
+    return run
+
+
+def _grid_coords(p: QGParams) -> dict:
+    g = make_grid(p.nx, p.ny_, p.L, p.W_, p.filterfac)
+    return {"x": g.x[0, :], "y": g.y[:, 0], "lev": np.array([1, 2]),
+            "l": g.ll, "k": g.kk}
+
+
+def _build_dataset(snaps: dict, diags: dict, p: QGParams,
+                   sampling_freq: float, n_snaps: int,
+                   run_dim: bool = False) -> xr.Dataset:
+    coords = _grid_coords(p)
+    time_days = (np.arange(1, n_snaps + 1) * sampling_freq) / DAY
+    lead = ("run", "time") if run_dim else ("time",)
+    ds = xr.Dataset(attrs={"pyqg_params": str(p.to_dict())})
+    for k, v in snaps.items():
+        ds[k] = xr.DataArray(np.asarray(v), lead + ("lev", "y", "x"),
+                             {"time": time_days, **coords})
+    for k, v in diags.items():
+        v = np.asarray(v, dtype=np.float32)
+        dims = ("lev", "l", "k") if v.ndim - (1 if run_dim else 0) == 3 \
+            else ("l", "k")
+        ds[k] = xr.DataArray(v, (("run",) if run_dim else ()) + dims, coords)
+    ds["time"] = xr.DataArray(time_days, ("time",),
+                              attrs={"units": "days"})
+    return ds
+
+
+def run_simulation(pyqg_params: QGParams, parameterization=None,
+                   q_init=None, sampling_freq: float = ANDREW_1000_STEPS,
+                   key: int = 0, with_diags: bool = True) -> xr.Dataset:
+    """Single-member online simulation as one fused XLA program."""
+    p = pyqg_params
+    model, sampling, nsteps = _normalize_parameterization(parameterization)
+    steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
+    n_snaps = max(1, int(p.tmax // (steps_per_snap * p.dt)))
+    q0 = jnp.asarray(q_init, p.dtype_real) if q_init is not None \
+        else set_initial_condition(p, key)
+    program = jax.jit(_simulate_program(
+        p, model, sampling, nsteps, steps_per_snap, n_snaps, with_diags))
+    snaps, diags = program(q0, jax.random.PRNGKey(key))
+    return _build_dataset(jax.device_get(snaps), jax.device_get(diags), p,
+                          steps_per_snap * p.dt, n_snaps)
+
+
+def run_ensemble(pyqg_params: QGParams, parameterization=None,
+                 n_ens: int = 10, q_init=None,
+                 sampling_freq: float = ANDREW_1000_STEPS,
+                 key: int = 0, with_diags: bool = True,
+                 sharding=None) -> xr.Dataset:
+    """N online members in one vmapped XLA program (the TPU-native
+    equivalent of the reference's SLURM job arrays). Per-member PRNG keys
+    drive both initial conditions and latent noise. If `sharding` is given
+    (a jax NamedSharding over the member axis), members are sharded across
+    the device mesh."""
+    p = pyqg_params
+    model, sampling, nsteps = _normalize_parameterization(parameterization)
+    steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
+    n_snaps = max(1, int(p.tmax // (steps_per_snap * p.dt)))
+    if q_init is not None:
+        q0 = jnp.asarray(q_init, p.dtype_real)
+        if q0.ndim == 3:
+            q0 = jnp.broadcast_to(q0, (n_ens,) + q0.shape)
+    else:
+        q0 = jnp.stack([set_initial_condition(p, key * 1000 + j)
+                        for j in range(n_ens)])
+    keys = jax.random.split(jax.random.PRNGKey(key), n_ens)
+    if sharding is not None:
+        q0 = jax.device_put(q0, sharding)
+        keys = jax.device_put(keys, sharding)
+    program = jax.jit(jax.vmap(_simulate_program(
+        p, model, sampling, nsteps, steps_per_snap, n_snaps, with_diags)))
+    snaps, diags = program(q0, keys)
+    # snapshots come out (run, snap, ...) after vmap of scan outputs
+    return _build_dataset(jax.device_get(snaps), jax.device_get(diags), p,
+                          steps_per_snap * p.dt, n_snaps, run_dim=True)
+
+
+def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
+                             sampling_freq: float = ANDREW_1000_STEPS,
+                             operators: Sequence[str] = ("Operator2",
+                                                         "Operator5"),
+                             dealias: str = "3/2-rule",
+                             key: int = 0) -> dict:
+    """Run the DNS and emit per-(operator, resolution) training datasets of
+    (S, q̄, ū, v̄, ψ̄), all inside one scanned XLA program
+    (reference tools/simulate.py:62-106)."""
+    p = pyqg_params
+    steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
+    n_snaps = max(1, int(p.tmax // (steps_per_snap * p.dt)))
+    step = make_online_step(p, None, with_diags=False)
+
+    def combo_key(op_name, nc):
+        return f"{op_name}-{nc}-dealias"
+
+    def program(q0):
+        state = core.init_state(q0, p)
+
+        def chunk(state, _):
+            def inner(c, _):
+                return step((c, None, None))[0], None
+            state, _ = jax.lax.scan(inner, state, None,
+                                    length=steps_per_snap)
+            q = jnp.fft.irfftn(state.qh, s=(p.ny_, p.nx),
+                               axes=(-2, -1)).astype(p.dtype_real)
+            out = {}
+            for op_name in operators:
+                op = OPERATORS[op_name]
+                for nc in Nc:
+                    S, (qc, uc, vc, psic) = PV_subgrid_forcing(
+                        q, nc, op, p, dealias)
+                    out[combo_key(op_name, nc)] = {
+                        "q_forcing_advection": S.astype(jnp.float32),
+                        "q": qc.astype(jnp.float32),
+                        "u": uc.astype(jnp.float32),
+                        "v": vc.astype(jnp.float32),
+                        "psi": psic.astype(jnp.float32)}
+            return state, out
+
+        return jax.lax.scan(chunk, state, None, length=n_snaps)[1]
+
+    q0 = set_initial_condition(p, key)
+    outs = jax.device_get(jax.jit(program)(q0))
+
+    time_days = (np.arange(1, n_snaps + 1) * steps_per_snap * p.dt) / DAY
+    result = {}
+    for cname, data in outs.items():
+        nc = int(cname.split("-")[1])
+        pc = p.replace(nx=nc, ny=None)
+        coords = _grid_coords(pc)
+        ds = xr.Dataset(attrs={"pyqg_params": str(p.to_dict())})
+        for vname, arr in data.items():
+            ds[vname] = xr.DataArray(np.asarray(arr),
+                                     ("time", "lev", "y", "x"),
+                                     {"time": time_days, **coords})
+        ds["time"] = xr.DataArray(time_days, ("time",),
+                                  attrs={"units": "days"})
+        result[cname] = ds
+    return result
