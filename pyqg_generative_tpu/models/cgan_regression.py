@@ -1,0 +1,431 @@
+"""Conditional GAN stochastic closure (reference models/cgan_regression.py).
+
+Recipe (kept from the reference, re-implemented as one jitted scan per epoch):
+
+* generator G(q, z) — AndrewCNN(4ch -> 2ch) or DeepInversion U-Net; critic D
+  with *pairwise minibatch discrimination*: it scores triples (x, y_a, y_b),
+  6 input channels, no norm layers (reference :57);
+* critic loss  -0.5 (D(x,y,ŷ2) + D(x,ŷ1,y)) + D(x,ŷ1,ŷ2)  with drift penalty
+  LAMBDA_DRIFT * D(x,y,ŷ2)^2 and WGAN-GP gradient penalty LAMBDA_GP on
+  interpolates between a (randomly ordered) real pair and the fake pair
+  (reference :197-222, :289-306);
+* generator updated every 5th critic step; both use Adam(2e-4, betas
+  (0.5, 0.999)) with lr halved at {1/2, 3/4, 7/8} of the epochs (:267-272);
+* optional deterministic-mean split: regression in {'None', 'full_loss',
+  'residual_loss'} (:26-32);
+* per-epoch offline evaluation (subgrid scores on a run subsample, M=16)
+  logged with the optimal-epoch tracker (:224-245).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ml.nets import AndrewCNN, DCGANDiscriminator, DeepInversionGenerator
+from ..ml.scalers import ChannelwiseScaler
+from ..ml.train import (apply_in_batches, epoch_permutation, log_to_dataset)
+from ..utils import xrlite as xr
+from ..eval.metrics import subgrid_scores
+from .base import (Parameterization, extract, array_to_dataset,
+                   prepare_PV_data, register_model, save_model_args,
+                   save_variables, load_variables)
+from .common import bn_apply, nhwc_from_lev, lev_from_nhwc, train_regression
+
+LAMBDA_DRIFT = 1e-3
+LAMBDA_GP = 10.0
+
+
+@register_model
+class CGANRegression(Parameterization):
+    def __init__(self, regression: str = "None", nx: int = 64,
+                 generator: str = "Andrew", folder: str = "model",
+                 div: bool = False,
+                 hidden_channels=(128, 64, 32, 32, 32, 32, 32)):
+        self.folder = folder
+        self.regression = regression
+        self.generator = generator
+        self.nx = nx
+        self.div = div
+        self.hidden_channels = tuple(hidden_channels)
+        self.n_latent = 2
+
+        if generator == "Andrew":
+            self.G = AndrewCNN(n_out=2, div=div,
+                               hidden_channels=self.hidden_channels)
+        elif generator == "DeepInversion":
+            self.G = DeepInversionGenerator(n_out=2)
+        else:
+            raise ValueError("generator not implemented")
+        self.D = DCGANDiscriminator(nx=nx, bn="None")
+        if regression != "None":
+            self.net_mean = AndrewCNN(n_out=2, div=div)
+
+        self.vars_G = None
+        self.vars_D = None
+        self.vars_mean = None
+        self.load_model(folder)
+
+    # --------------------------------------------------------------- fitting
+    def fit(self, ds_train, ds_test, num_epochs: int = 200,
+            num_epochs_regression: int = 50, batch_size: int = 64,
+            learning_rate: float = 2e-4, nruns: int = 5,
+            verbose: bool = True, key: int = 0):
+        X_train, Y_train, X_test, Y_test, self.x_scale, self.y_scale = \
+            prepare_PV_data(ds_train, ds_test)
+
+        if self.regression != "None" and self.vars_mean is None:
+            self.vars_mean, _ = train_regression(
+                self.net_mean, X_train, Y_train, X_test, Y_test,
+                num_epochs_regression, batch_size, 1e-3, verbose=verbose)
+
+        log = train_CGAN(self, ds_train, ds_test, X_train, Y_train,
+                         num_epochs, batch_size, learning_rate, nruns,
+                         verbose=verbose, key=key)
+        self.save_model(log)
+
+    def save_model(self, log=None):
+        os.makedirs(self.folder, exist_ok=True)
+        save_variables(self.vars_G, f"{self.folder}/G.msgpack")
+        save_variables(self.vars_D, f"{self.folder}/D.msgpack")
+        if self.regression != "None":
+            save_variables(self.vars_mean, f"{self.folder}/net_mean.msgpack")
+        self.x_scale.write("x_scale.json", self.folder)
+        self.y_scale.write("y_scale.json", self.folder)
+        save_model_args("CGANRegression", folder=self.folder,
+                        regression=self.regression, nx=self.nx,
+                        generator=self.generator, div=self.div,
+                        hidden_channels=list(self.hidden_channels))
+        if log:
+            stats, epoch = loss_to_dataset(log)
+            stats.to_npz(f"{self.folder}/stats.npz")
+            print("Optimal epoch is", epoch)
+
+    def load_model(self, folder):
+        if os.path.exists(f"{folder}/G.msgpack"):
+            key = jax.random.PRNGKey(0)
+            x0 = jnp.zeros((1, self.nx, self.nx, 2 + self.n_latent))
+            tG = self.G.init(key, x0, train=True)
+            mk = lambda t: {"params": t["params"],
+                            "batch_stats": t.get("batch_stats", {})}
+            self.vars_G = load_variables(mk(tG), f"{folder}/G.msgpack")
+            d0 = jnp.zeros((1, self.nx, self.nx, 6))
+            tD = self.D.init(key, d0, train=True)
+            self.vars_D = load_variables(mk(tD), f"{folder}/D.msgpack")
+            if self.regression != "None":
+                tm = self.net_mean.init(key, jnp.zeros((1, self.nx, self.nx, 2)),
+                                        train=True)
+                self.vars_mean = load_variables(mk(tm),
+                                                f"{folder}/net_mean.msgpack")
+            self.x_scale = ChannelwiseScaler().read("x_scale.json", folder)
+            self.y_scale = ChannelwiseScaler().read("y_scale.json", folder)
+            return True
+        return False
+
+    # ------------------------------------------------------------- inference
+    def latent_shape(self, ny, nx):
+        return (ny, nx, self.n_latent)
+
+    def generate_latent_noise(self, key, ny, nx):
+        return jax.random.normal(key, self.latent_shape(ny, nx), jnp.float32)
+
+    def _gen(self, params, batch_stats, x, z):
+        out, _ = bn_apply(self.G, params, batch_stats,
+                          jnp.concatenate([x, z], axis=-1), False)
+        return out
+
+    def generate(self, x, z):
+        """Normalized-space generation (x, z NHWC)."""
+        y = self._gen(self.vars_G["params"], self.vars_G["batch_stats"], x, z)
+        if self.regression != "None":
+            y = y + bn_apply(self.net_mean, self.vars_mean["params"],
+                             self.vars_mean["batch_stats"], x, False)[0]
+        return y
+
+    def predict_snapshot(self, q, noise):
+        x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
+        y = self.generate(x, noise[None]) * jnp.asarray(self.y_scale.std)
+        return lev_from_nhwc(y).astype(q.dtype)
+
+    def predict_mean_snapshot(self, q, M: int = 100, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
+
+        def body(c, k):
+            return c + self.generate(x, jax.random.normal(
+                k, x.shape[:-1] + (self.n_latent,))), None
+
+        keys = jax.random.split(key, M)
+        total, _ = jax.lax.scan(body, jnp.zeros_like(x), keys)
+        y = total / M * jnp.asarray(self.y_scale.std)
+        return lev_from_nhwc(y).astype(q.dtype)
+
+    def _mean_var_program(self, M: int):
+        """(x, key) -> (sample, mean, var) over M generator draws, as a
+        scanned on-device program (replaces the reference's python loop over
+        M forwards, models/cgan_regression.py:139-145)."""
+        def fn(x, key):
+            zshape = x.shape[:-1] + (self.n_latent,)
+
+            def body(carry, k):
+                s, ss, first, is_first = carry
+                y = self.generate(x, jax.random.normal(k, zshape))
+                first = jnp.where(is_first, y, first)
+                return (s + y, ss + y * y, first, jnp.zeros_like(is_first)), None
+
+            keys = jax.random.split(key, M)
+            init = (jnp.zeros_like(x[..., :2]), jnp.zeros_like(x[..., :2]),
+                    jnp.zeros_like(x[..., :2]), jnp.ones((), bool))
+            (s, ss, first, _), _ = jax.lax.scan(body, init, keys)
+            mean = s / M
+            var = (ss - M * mean ** 2) / max(M - 1, 1)
+            return first, mean, var
+        return fn
+
+    def predict(self, ds, M: int = 1000, key: int = 0) -> xr.Dataset:
+        X = self.x_scale.normalize(extract(ds, "q"))
+        fn = jax.jit(self._mean_var_program(M))
+        keys = iter(jax.random.split(jax.random.PRNGKey(key), 10 ** 6))
+
+        def run(x):
+            return fn(jnp.asarray(x), next(keys))
+
+        Y, mean, var = apply_in_batches(run, X, batch_size=64)
+        return xr.Dataset({
+            "q_forcing_advection": array_to_dataset(
+                ds, self.y_scale.denormalize(Y), "f"),
+            "q_forcing_advection_mean": array_to_dataset(
+                ds, self.y_scale.denormalize(mean), "m"),
+            "q_forcing_advection_var": array_to_dataset(
+                ds, self.y_scale.denormalize_var(var), "v")})
+
+    def predict_ensemble(self, ds, M: int = 1000, key: int = 0):
+        X = self.x_scale.normalize(extract(ds, "q"))
+
+        def fn(x, k):
+            zs = jax.random.normal(
+                k, (M,) + x.shape[:-1] + (self.n_latent,))
+            return jax.lax.map(lambda z: self.generate(x, z), zs)
+
+        jfn = jax.jit(fn)
+        keys = iter(jax.random.split(jax.random.PRNGKey(key), 10 ** 6))
+        Y = apply_in_batches(lambda x: jfn(jnp.asarray(x), next(keys)), X,
+                             batch_size=16)
+        q = ds["q"]
+        for d in ("run", "time"):
+            if d not in q.dims:
+                q = q.expand_dims(d)
+        shape = q.transpose("run", "time", "lev", "y", "x").shape
+        arr = np.moveaxis(self.y_scale.denormalize(Y), -1, 2)
+        arr = arr.reshape((shape[0], shape[1], M) + shape[2:]).transpose(
+            2, 0, 1, 3, 4, 5)
+        return xr.DataArray(arr, dims=("ens", "run", "time", "lev", "y", "x"))
+
+
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+def evaluate_prediction(net, ds, nruns=None, M: int = 16, key: int = 0):
+    """Subgrid scores on a run subsample (reference cgan_regression.py:224-234)."""
+    nrun = ds["q"].sizes()["run"] if "run" in ds["q"].dims else 1
+    idx = np.arange(nrun)
+    if nruns is not None and nruns < len(idx):
+        idx = np.random.default_rng(key).choice(idx, nruns, replace=False)
+    sub = ds.isel(run=idx)
+    preds = net.predict(sub, M=M)
+    s = subgrid_scores(sub["q_forcing_advection"],
+                       preds["q_forcing_advection_mean"],
+                       preds["q_forcing_advection"])
+    return {k: float(np.mean(s[k].values))
+            for k in ("L2_mean", "L2_total", "L2_residual")} | \
+        {"var_ratio": float(np.mean(s["var_ratio"].values))}
+
+
+def loss_to_dataset(log: dict):
+    """Training curves + optimal-epoch tracking
+    (reference cgan_regression.py:236-245)."""
+    ds = log_to_dataset(log)
+    if "L2_total_test" in log and "L2_residual_test" in log:
+        loss = np.asarray(log["L2_total_test"]) + \
+            np.asarray(log["L2_residual_test"])
+        ds["loss_opt"] = xr.DataArray(loss, ("epoch",))
+        epoch_opt = int(np.argmin(loss)) + 1
+        ds["Epoch_opt"] = xr.DataArray(np.asarray(epoch_opt))
+        return ds, epoch_opt
+    return ds, len(next(iter(log.values()), []))
+
+
+def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
+               num_epochs: int, batch_size: int, learning_rate: float,
+               nruns=5, verbose=True, key: int = 0):
+    rng = np.random.default_rng(key)
+    jkey = jax.random.PRNGKey(key)
+    n = len(X_train)
+    steps = int(np.ceil(n / batch_size))
+
+    # mean-correction targets (reference :255-258)
+    if net.regression != "None":
+        fmean = jax.jit(lambda x: bn_apply(
+            net.net_mean, net.vars_mean["params"],
+            net.vars_mean["batch_stats"], x, False)[0])
+        Y_mean = apply_in_batches(lambda x: fmean(jnp.asarray(x)), X_train)
+    else:
+        Y_mean = np.zeros_like(Y_train)
+
+    sched = [int(num_epochs * f) * steps for f in (0.5, 0.75, 0.875)]
+    lr_sched = optax.piecewise_constant_schedule(
+        learning_rate, {b: 0.5 for b in sched})
+    txD = optax.adam(lr_sched, b1=0.5, b2=0.999)
+    txG = optax.adam(lr_sched, b1=0.5, b2=0.999)
+
+    jkey, k1, k2 = jax.random.split(jkey, 3)
+    x0 = jnp.zeros((1, net.nx, net.nx, 2 + net.n_latent), jnp.float32)
+    if net.vars_G is None:
+        vG = net.G.init(k1, x0, train=True)
+        net.vars_G = {"params": vG["params"],
+                      "batch_stats": vG.get("batch_stats", {})}
+    if net.vars_D is None:
+        vD = net.D.init(k2, jnp.zeros((1, net.nx, net.nx, 6)), train=True)
+        net.vars_D = {"params": vD["params"],
+                      "batch_stats": vD.get("batch_stats", {})}
+    optG = txG.init(net.vars_G["params"])
+    optD = txD.init(net.vars_D["params"])
+
+    Xd = jnp.asarray(X_train)
+    Yd = jnp.asarray(Y_train)
+    Md = jnp.asarray(Y_mean)
+
+    def d_apply(paramsD, xin):
+        return net.D.apply({"params": paramsD,
+                            "batch_stats": net.vars_D["batch_stats"]},
+                           xin, train=False)
+
+    def g_forward(paramsG, bsG, x, z, train):
+        out, new_bs = bn_apply(net.G, paramsG, bsG,
+                               jnp.concatenate([x, z], axis=-1), train)
+        return out, new_bs
+
+    def train_epoch(carry, perm, ekey):
+        def body(c, inp):
+            pG, bsG, oG, pD, oD = c
+            idx, i = inp
+            kb = jax.random.fold_in(ekey, i)
+            kz1, kz2, keps, kswap, kgp = jax.random.split(kb, 5)
+            x = Xd[idx]
+            y = Yd[idx]
+            ymean = Md[idx]
+            if net.regression == "residual_loss":
+                y = y - ymean
+            zshape = x.shape[:-1] + (net.n_latent,)
+            z1 = jax.random.normal(kz1, zshape)
+            z2 = jax.random.normal(kz2, zshape)
+
+            yfake1, bsG = g_forward(pG, bsG, x, z1, True)
+            yfake2, bsG = g_forward(pG, bsG, x, z2, True)
+            if net.regression == "full_loss":
+                yfake1 = yfake1 + ymean
+                yfake2 = yfake2 + ymean
+            yf1 = jax.lax.stop_gradient(yfake1)
+            yf2 = jax.lax.stop_gradient(yfake2)
+
+            # ---------------- critic update -------------------------------
+            def d_loss_fn(pD):
+                Dtrue1 = d_apply(pD, jnp.concatenate([x, y, yf2], -1))
+                Dtrue2 = d_apply(pD, jnp.concatenate([x, yf1, y], -1))
+                Dfake = d_apply(pD, jnp.concatenate([x, yf1, yf2], -1))
+                D_loss = -0.5 * (Dtrue1.mean() + Dtrue2.mean()) + Dfake.mean()
+                D_drift = LAMBDA_DRIFT * (Dtrue1 ** 2).mean()
+
+                eps = jax.random.uniform(keps, (x.shape[0], 1, 1, 1))
+                swap = jax.random.bernoulli(kswap)
+                ytrue_cat = jnp.where(
+                    swap, jnp.concatenate([yf1, y], -1),
+                    jnp.concatenate([y, yf2], -1))
+                yfake_cat = jnp.concatenate([yf1, yf2], -1)
+                yinterp = eps * ytrue_cat + (1 - eps) * yfake_cat
+
+                def d_on_interp(yi):
+                    return d_apply(pD, jnp.concatenate([x, yi], -1)).sum()
+
+                dDdy = jax.grad(d_on_interp)(yinterp)
+                norms = jnp.sqrt(
+                    (dDdy.reshape(dDdy.shape[0], -1) ** 2).sum(-1) + 1e-12)
+                D_grad = LAMBDA_GP * ((norms - 1.0) ** 2).mean()
+                total = D_loss + D_grad + D_drift
+                return total, (D_loss, D_grad, D_drift)
+
+            (loss_d, (D_loss, D_grad, D_drift)), gD = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(pD)
+            updD, oD = txD.update(gD, oD, pD)
+            pD = optax.apply_updates(pD, updD)
+
+            # ---------------- generator update (every 5th batch) ----------
+            def g_step(args):
+                pG, bsG, oG = args
+
+                def g_loss_fn(pG):
+                    yg1, bs1 = g_forward(pG, bsG, x, z1, True)
+                    yg2, bs2 = g_forward(pG, bs1, x, z2, True)
+                    if net.regression == "full_loss":
+                        yg1 = yg1 + ymean
+                        yg2 = yg2 + ymean
+                    G_loss = -d_apply(
+                        pD, jnp.concatenate([x, yg1, yg2], -1)).mean()
+                    return G_loss, bs2
+
+                (G_loss, bsG), gG = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(pG)
+                updG, oG = txG.update(gG, oG, pG)
+                pG = optax.apply_updates(pG, updG)
+                return (pG, bsG, oG), G_loss
+
+            def g_skip(args):
+                return args, jnp.zeros((), jnp.float32)
+
+            (pG, bsG, oG), G_loss = jax.lax.cond(
+                i % 5 == 0, g_step, g_skip, (pG, bsG, oG))
+
+            metrics = {"D_loss": D_loss, "D_grad": D_grad,
+                       "D_drift": D_drift, "G_loss": G_loss}
+            return (pG, bsG, oG, pD, oD), metrics
+
+        steps_idx = jnp.arange(perm.shape[0])
+        carry, metrics = jax.lax.scan(body, carry, (perm, steps_idx))
+        return carry, {k: v.mean() for k, v in metrics.items()}
+
+    train_epoch_j = jax.jit(train_epoch)
+
+    import time as _time
+    log: dict = {}
+    carry = (net.vars_G["params"], net.vars_G["batch_stats"], optG,
+             net.vars_D["params"], optD)
+    t_s = _time.time()
+    for epoch in range(num_epochs):
+        t_e = _time.time()
+        perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
+        jkey, ekey = jax.random.split(jkey)
+        carry, metrics = train_epoch_j(carry, perm, ekey)
+        pG, bsG, oG, pD, oD = carry
+        net.vars_G = {"params": pG, "batch_stats": bsG}
+        net.vars_D = {"params": pD, "batch_stats": net.vars_D["batch_stats"]}
+        row = {k: float(v) for k, v in metrics.items()}
+        if nruns:
+            row.update({k: v for k, v in evaluate_prediction(
+                net, ds_train, nruns, key=epoch).items()})
+            row.update({f"{k}_test": v for k, v in evaluate_prediction(
+                net, ds_test, nruns, key=epoch).items()})
+        for k, v in row.items():
+            log.setdefault(k, []).append(v)
+        if verbose:
+            t = _time.time()
+            eta = (t - t_s) * (num_epochs / (epoch + 1) - 1)
+            print(f"[{epoch + 1}/{num_epochs}] [{t - t_e:.2f}/{eta:.2f}] "
+                  f"D_loss: {row['D_loss']:.3f} G_loss: {row['G_loss']:.3f}"
+                  + (f" L2_total: {row.get('L2_total_test', float('nan')):.3f}"
+                     if nruns else ""))
+    return log

@@ -1,0 +1,136 @@
+"""GAN and VAE closures: smoke-train, sampling statistics, save/load."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqg_generative_tpu.models import CGANRegression, CVAERegression, load_model
+from pyqg_generative_tpu.utils import xrlite as xr
+
+from test_closures import make_synthetic_ds
+
+NX = 16
+SMALL = dict(hidden_channels=(8, 8))
+
+
+@pytest.fixture(scope="module")
+def ds_pair():
+    rng = np.random.default_rng(2)
+    return (make_synthetic_ds(rng, nrun=4, ntime=8, nx=NX, noise=1.0),
+            make_synthetic_ds(rng, nrun=2, ntime=4, nx=NX, noise=1.0))
+
+
+def test_gan_trains_and_predicts(tmp_path, ds_pair):
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "gan")
+    m = CGANRegression(nx=NX, folder=folder, **SMALL)
+    m.fit(ds_train, ds_test, num_epochs=3, batch_size=16, nruns=2,
+          verbose=False)
+    assert m.vars_G is not None and m.vars_D is not None
+
+    preds = m.predict(ds_test, M=8)
+    assert preds["q_forcing_advection"].shape == ds_test["q"].shape
+    assert np.isfinite(preds["q_forcing_advection"].values).all()
+    # stochastic: variance strictly positive somewhere
+    assert preds["q_forcing_advection_var"].values.max() > 0
+
+    # two different latent draws give different samples
+    q = jnp.asarray(ds_test["q"].values[0, 0])
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    n1 = m.generate_latent_noise(k1, NX, NX)
+    n2 = m.generate_latent_noise(k2, NX, NX)
+    f1 = np.asarray(m.predict_snapshot(q, n1))
+    f2 = np.asarray(m.predict_snapshot(q, n2))
+    assert not np.allclose(f1, f2, atol=0)
+
+    # reload round-trip
+    m2 = load_model(folder)
+    assert isinstance(m2, CGANRegression)
+    f1b = np.asarray(m2.predict_snapshot(q, n1))
+    np.testing.assert_allclose(f1, f1b, rtol=1e-5)
+
+
+def test_gan_mean_var_consistency(tmp_path, ds_pair):
+    """mean/var from the scanned accumulator match explicit sampling."""
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "gan2")
+    m = CGANRegression(nx=NX, folder=folder, **SMALL)
+    m.fit(ds_train, ds_test, num_epochs=1, batch_size=16, nruns=0,
+          verbose=False)
+    X = m.x_scale.normalize(np.moveaxis(
+        ds_test["q"].values[0, :2].reshape(2, 2, NX, NX), 1, -1))
+    fn = jax.jit(m._mean_var_program(16))
+    key = jax.random.PRNGKey(3)
+    first, mean, var = fn(jnp.asarray(X), key)
+    # reproduce with the same keys explicitly
+    keys = jax.random.split(key, 16)
+    ys = np.stack([np.asarray(m.generate(
+        jnp.asarray(X), jax.random.normal(k, X.shape[:-1] + (2,))))
+        for k in keys])
+    np.testing.assert_allclose(np.asarray(first), ys[0], rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mean), ys.mean(0), rtol=2e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), ys.var(0, ddof=1), rtol=2e-2,
+                               atol=1e-8)
+
+
+def test_gan_regression_modes(tmp_path, ds_pair):
+    ds_train, ds_test = ds_pair
+    for mode in ("full_loss", "residual_loss"):
+        folder = str(tmp_path / f"gan_{mode}")
+        m = CGANRegression(nx=NX, regression=mode, folder=folder, **SMALL)
+        m.fit(ds_train, ds_test, num_epochs=1, num_epochs_regression=2,
+              batch_size=16, nruns=0, verbose=False)
+        preds = m.predict(ds_test, M=4)
+        assert np.isfinite(preds["q_forcing_advection_mean"].values).all()
+
+
+def test_vae_trains_and_predicts(tmp_path, ds_pair):
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "vae")
+    m = CVAERegression(folder=folder, **SMALL)
+    m.fit(ds_train, ds_test, num_epochs=4, batch_size=16, nruns=2,
+          verbose=False)
+    preds = m.predict(ds_test, M=8)
+    assert preds["q_forcing_advection"].shape == ds_test["q"].shape
+    assert np.isfinite(preds["q_forcing_advection"].values).all()
+    assert preds["q_forcing_advection_var"].values.max() > 0
+
+    m2 = load_model(folder)
+    assert isinstance(m2, CVAERegression)
+    q = jnp.asarray(ds_test["q"].values[0, 0])
+    n1 = m.generate_latent_noise(jax.random.PRNGKey(1), NX, NX)
+    np.testing.assert_allclose(np.asarray(m.predict_snapshot(q, n1)),
+                               np.asarray(m2.predict_snapshot(q, n1)),
+                               rtol=1e-5)
+
+
+def test_vae_loss_decreases(tmp_path, ds_pair):
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "vae2")
+    m = CVAERegression(folder=folder, **SMALL)
+    from pyqg_generative_tpu.models.cvae_regression import train_CVAE
+    from pyqg_generative_tpu.models.base import prepare_PV_data
+    X_train, Y_train, X_test, Y_test, m.x_scale, m.y_scale = \
+        prepare_PV_data(ds_train, ds_test)
+    log = train_CVAE(m, ds_train, ds_test, X_train, Y_train,
+                     num_epochs=10, batch_size=16, learning_rate=2e-3,
+                     nruns=0, verbose=False)
+    assert log["MSE"][-1] < log["MSE"][0]
+
+
+def test_gan_online_coupling(tmp_path, ds_pair):
+    """GAN closure runs inside the fused solver step."""
+    from pyqg_generative_tpu.qg.params import QGParams
+    from pyqg_generative_tpu.sim import run_simulation
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "gan3")
+    m = CGANRegression(nx=NX, folder=folder, **SMALL)
+    m.fit(ds_train, ds_test, num_epochs=1, batch_size=16, nruns=0,
+          verbose=False)
+    p = QGParams(nx=NX, dt=14400.0, tmax=20 * 14400.0,
+                 tavestart=5 * 14400.0, precision="double")
+    ds = run_simulation(p, {"self": m, "sampling": "AR1", "nsteps": 2},
+                        sampling_freq=10 * 14400.0)
+    assert np.isfinite(ds["q"].values).all()
+    assert "paramspec" in ds
