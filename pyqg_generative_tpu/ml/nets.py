@@ -225,6 +225,60 @@ class DeepInversionGenerator(nn.Module):
         return nn.Conv(self.n_out, (1, 1), dtype=self.dtype)(h)
 
 
+class Downsampling(nn.Module):
+    """Stack of stride-2 circular 3x3 convs (BN + LeakyReLU); optionally a
+    final Dense head on the flattened map (reference tools/cnn_tools.py:246-279).
+    Used as the CVAE-bottleneck encoder."""
+    n_down: int
+    n_out: int
+    nx: int = 64
+    hidden_dims: Sequence[int] = (32, 64, 128, 256, 512, 1024)
+    flatten: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_down):
+            nout = self.n_out if (i == self.n_down - 1 and not self.flatten) \
+                else self.hidden_dims[i]
+            x = nn.Conv(nout, (3, 3), strides=(2, 2), padding="CIRCULAR",
+                        dtype=self.dtype)(x)
+            x = _norm("BatchNorm", self.dtype)(x, use_running_average=not train)
+            x = nn.leaky_relu(x, 0.01)
+        if self.flatten:
+            x = x.reshape(x.shape[0], -1)
+            x = nn.Dense(self.n_out, dtype=self.dtype)(x)
+        return x
+
+
+class Upsampling(nn.Module):
+    """Dense un-flatten followed by stride-2 transposed convs (BN + LeakyReLU)
+    (reference tools/cnn_tools.py:281-319). Used as the CVAE-bottleneck deep
+    decoder mapping a flat latent back to an image."""
+    n_up: int
+    n_out: int
+    nx: int = 64
+    hidden_dims: Sequence[int] = (32, 64, 128, 256, 512, 1024)
+    flatten: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hd = list(self.hidden_dims[:self.n_up])[::-1]
+        if self.flatten:
+            nxc = self.nx // 2 ** self.n_up
+            x = nn.Dense(hd[0] * nxc * nxc, dtype=self.dtype)(x)
+            x = x.reshape(x.shape[0], nxc, nxc, hd[0])
+        for i in range(self.n_up):
+            nout = self.n_out if i == self.n_up - 1 else hd[i + 1] \
+                if i + 1 < len(hd) else self.n_out
+            x = nn.ConvTranspose(nout, (3, 3), strides=(2, 2),
+                                 padding="SAME", dtype=self.dtype)(x)
+            x = _norm("BatchNorm", self.dtype)(x, use_running_average=not train)
+            x = nn.leaky_relu(x, 0.01)
+        return x
+
+
 def count_params(variables) -> int:
     return sum(int(np.prod(np.asarray(p.shape)))
                for p in jax.tree_util.tree_leaves(variables))

@@ -105,6 +105,43 @@ class CVAERegression(Parameterization):
             return True
         return False
 
+    # ------------------------------------------------ training plumbing
+    # (overridable by CVAEBottleneck which has a flat deep latent)
+    def _init_vae_variables(self, key, nx):
+        mk = lambda t: {"params": t["params"],
+                        "batch_stats": t.get("batch_stats", {})}
+        k1, k2 = jax.random.split(key)
+        if self.vars_enc is None:
+            self.vars_enc = mk(self.encoder.init(
+                k1, jnp.zeros((1, nx, nx, 4)), train=True))
+        if self.vars_dec is None:
+            self.vars_dec = mk(self.decoder.init(
+                k2, jnp.zeros((1, nx, nx, 2 + self.n_latent)), train=True))
+        params = {"enc": self.vars_enc["params"],
+                  "dec": self.vars_dec["params"]}
+        bstats = {"enc": self.vars_enc["batch_stats"],
+                  "dec": self.vars_dec["batch_stats"]}
+        return params, bstats
+
+    def _set_vae_variables(self, params, bstats):
+        self.vars_enc = {"params": params["enc"],
+                         "batch_stats": bstats["enc"]}
+        self.vars_dec = {"params": params["dec"],
+                         "batch_stats": bstats["dec"]}
+
+    def _encode_train(self, params, bstats, x, y, train):
+        enc_out, bs_enc = bn_apply(self.encoder, params["enc"],
+                                   bstats["enc"],
+                                   jnp.concatenate([x, y], axis=-1), train)
+        mu = enc_out[..., :self.n_latent]
+        logvar = enc_out[..., self.n_latent:]
+        return mu, logvar, {**bstats, "enc": bs_enc}
+
+    def _decode_train(self, params, bstats, x, z, train):
+        yhat, bs_dec = bn_apply(self.decoder, params["dec"], bstats["dec"],
+                                jnp.concatenate([x, z], axis=-1), train)
+        return yhat, {**bstats, "dec": bs_dec}
+
     # ------------------------------------------------------------- inference
     def latent_shape(self, ny, nx):
         return (ny, nx, self.n_latent)
@@ -164,37 +201,23 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
     tx = optax.adam(optax.piecewise_constant_schedule(
         learning_rate, {b: 0.1 for b in sched}))
 
-    jkey, k1, k2 = jax.random.split(jkey, 3)
-    mk = lambda t: {"params": t["params"],
-                    "batch_stats": t.get("batch_stats", {})}
-    if net.vars_enc is None:
-        net.vars_enc = mk(net.encoder.init(
-            k1, jnp.zeros((1, nx, nx, 4)), train=True))
-    if net.vars_dec is None:
-        net.vars_dec = mk(net.decoder.init(
-            k2, jnp.zeros((1, nx, nx, 2 + net.n_latent)), train=True))
-    params = {"enc": net.vars_enc["params"], "dec": net.vars_dec["params"]}
-    bstats = {"enc": net.vars_enc["batch_stats"],
-              "dec": net.vars_dec["batch_stats"]}
+    jkey, k1 = jax.random.split(jkey)
+    params, bstats = net._init_vae_variables(k1, nx)
     opt_state = tx.init(params)
 
     Xd, Yd, Md = map(jnp.asarray, (X_train, Y_train, Y_mean))
 
     def loss_fn(params, bstats, kz, x, y, ymean, train):
-        enc_in = jnp.concatenate([x, y], axis=-1)
-        enc_out, bs_enc = bn_apply(net.encoder, params["enc"], bstats["enc"],
-                                   enc_in, train)
-        mu = enc_out[..., :net.n_latent]
-        logvar = enc_out[..., net.n_latent:]
+        mu, logvar, bstats = net._encode_train(params, bstats, x, y, train)
         std = jnp.exp(0.5 * logvar)
         var = std ** 2
         eps = jax.random.normal(kz, std.shape)
         z = eps * std + mu
-        yhat, bs_dec = bn_apply(net.decoder, params["dec"], bstats["dec"],
-                                jnp.concatenate([x, z], axis=-1), train)
+        yhat, bstats = net._decode_train(params, bstats, x, z, train)
         if net.regression != "None":
             yhat = yhat + ymean
 
+        b = x.shape[0]
         KL_pointwise = 0.5 * (mu ** 2 + var - 1.0 - logvar)
         MSE_pointwise = (yhat - y) ** 2
         if net.decoder_var == "adaptive":
@@ -203,13 +226,13 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
             var_p = 1.0
         else:
             var_p = float(net.decoder_var)
-        loss_recon = (MSE_pointwise.sum(axis=(1, 2, 3))).mean() / (2.0 * var_p)
-        loss_KL = KL_pointwise.sum(axis=(1, 2, 3)).mean()
+        loss_recon = MSE_pointwise.reshape(b, -1).sum(-1).mean() / (2.0 * var_p)
+        loss_KL = KL_pointwise.reshape(b, -1).sum(-1).mean()
         loss = loss_recon + loss_KL
         metrics = {"loss": loss, "loss_recon": loss_recon, "loss_KL": loss_KL,
                    "MSE": MSE_pointwise.mean(), "var_latent": var.mean(),
                    "var_aggr": mu.var() + var.mean()}
-        return loss, (metrics, {"enc": bs_enc, "dec": bs_dec})
+        return loss, (metrics, bstats)
 
     def train_epoch(carry, perm, ekey):
         def body(c, inp):
@@ -239,8 +262,7 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
         jkey, ekey = jax.random.split(jkey)
         carry, metrics = train_epoch_j(carry, perm, ekey)
         params, bstats, opt_state = carry
-        net.vars_enc = {"params": params["enc"], "batch_stats": bstats["enc"]}
-        net.vars_dec = {"params": params["dec"], "batch_stats": bstats["dec"]}
+        net._set_vae_variables(params, bstats)
         row = {k: float(v) for k, v in metrics.items()}
         if nruns:
             row.update(evaluate_prediction(net, ds_train, nruns, key=epoch))
