@@ -1,0 +1,85 @@
+"""Headline benchmark: online GAN-parameterized ensemble throughput.
+
+Reference anchor (BASELINE.md): the reference stack (pyqg CPU solver + torch
+GPU CNN, per-step host round-trips) sustains ~200 steps/s for a single
+GAN-parameterized member at 48^2 (431.5 s for 86,400 steps,
+Google-Colab/online-simulations.ipynb cell 12). North star: a 10-member
+64^2 GAN ensemble fused into one XLA program at >= 10x that per member.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import argparse
+import json
+import sys
+import time
+
+BASELINE_MEMBER_STEPS_PER_S = 200.0  # GAN online, reference stack
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--members", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--snap-every", type=int, default=250)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _untrained_gan
+    from pyqg_generative_tpu.qg import core
+    from pyqg_generative_tpu.qg.params import QGParams
+    from pyqg_generative_tpu.sim.simulate import _simulate_program
+    from pyqg_generative_tpu.sim.stochastic import init_sampler
+
+    p = QGParams(nx=args.nx, dt=14400.0,
+                 tavestart=0.0, precision="single")
+    model = _untrained_gan(args.nx)
+
+    n_snaps = max(1, args.steps // args.snap_every)
+    steps_per_snap = args.snap_every
+    total_steps = n_snaps * steps_per_snap
+
+    program = jax.jit(jax.vmap(_simulate_program(
+        p, model, "AR1", 1, steps_per_snap, n_snaps, True)))
+
+    q0 = jnp.stack([core.default_initial_q(p, rng=np.random.default_rng(j))
+                    for j in range(args.members)])
+    keys = jax.random.split(jax.random.PRNGKey(0), args.members)
+
+    # compile + warmup (excluded from timing)
+    out = program(q0, keys)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    out = program(q0, keys)
+    jax.block_until_ready(out)
+    dt_wall = time.perf_counter() - t0
+
+    member_steps_per_s = args.members * total_steps / dt_wall
+    sim_years_per_day = (member_steps_per_s * p.dt) / (360 * 86400) * 86400
+
+    result = {
+        "metric": f"gan_online_member_steps_per_s_{args.nx}sq_"
+                  f"{args.members}member",
+        "value": round(member_steps_per_s, 1),
+        "unit": "member-steps/s",
+        "vs_baseline": round(member_steps_per_s /
+                             BASELINE_MEMBER_STEPS_PER_S, 2),
+    }
+    print(json.dumps(result))
+    print(f"# wall {dt_wall:.2f}s for {args.members} members x "
+          f"{total_steps} steps at {args.nx}^2 "
+          f"(~{sim_years_per_day:,.0f} member-sim-years/day); "
+          f"devices={jax.devices()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

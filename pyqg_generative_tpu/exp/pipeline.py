@@ -1,0 +1,139 @@
+"""The JAMES-paper experiment matrix as device-parallel python functions —
+the TPU replacement for the reference's SLURM stage scripts
+(scripts/run_reference.py, run_forcing_datasets.py,
+train_parameterizations.py, run_parameterized.py, run_forecasting.py,
+compute_online_metrics.py).
+
+Every stage is an ordinary function; scale knobs default to the paper's
+values but can be shrunk for smoke runs. Folder layout mirrors the
+reference so downstream analysis is drop-in."""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..eval.comparison import (coarsegrain_reference_dataset,
+                               diagnostic_differences)
+from ..models import MODEL_REGISTRY, load_model
+from ..qg.params import ANDREW_1000_STEPS, EDDY_PARAMS, JET_PARAMS, YEAR
+from ..sim import generate_subgrid_forcing, run_ensemble
+from ..utils import xrlite as xr
+
+CONFIGURATIONS = {"eddy": EDDY_PARAMS, "jet": JET_PARAMS}
+
+
+def run_reference(base: str, configuration: str = "eddy",
+                  resolutions=(48, 64, 96, 128, 256), n_ens: int = 10,
+                  years: float = 20.0,
+                  sampling_freq: float = ANDREW_1000_STEPS):
+    """10-member unparameterized references at each resolution
+    (reference scripts/run_reference.py:19-32)."""
+    p0 = CONFIGURATIONS[configuration]
+    for nx in resolutions:
+        p = p0.with_nx(nx).replace(tmax=years * YEAR,
+                                   tavestart=years * YEAR / 2)
+        folder = os.path.join(base, configuration,
+                              f"reference_{nx}")
+        os.makedirs(folder, exist_ok=True)
+        ds = run_ensemble(p, n_ens=n_ens, sampling_freq=sampling_freq)
+        for j in range(n_ens):
+            ds.isel(run=j).to_npz(os.path.join(folder, f"{j}.npz"))
+
+
+def run_forcing_datasets(base: str, configuration: str = "eddy",
+                         n_runs: int = 300, Nc=(32, 48, 64, 96, 128),
+                         dns_nx: int = 256, years: float = 10.0,
+                         sampling_freq: float = ANDREW_1000_STEPS):
+    """High-res DNS runs emitting per-(operator, resolution) forcing datasets
+    (reference scripts/run_forcing_datasets.py:10-25)."""
+    p = CONFIGURATIONS[configuration].with_nx(dns_nx).replace(
+        tmax=years * YEAR)
+    for run in range(n_runs):
+        out = generate_subgrid_forcing(list(Nc), p, sampling_freq, key=run)
+        for name, ds in out.items():
+            folder = os.path.join(base, configuration, name)
+            os.makedirs(folder, exist_ok=True)
+            ds.to_npz(os.path.join(folder, f"{run}.npz"))
+
+
+def train_parameterizations(base: str, configuration: str = "eddy",
+                            models=("MeanVarModel", "CGANRegression",
+                                    "CVAERegression"),
+                            operators=("Operator1", "Operator2"),
+                            resolutions=(48, 64, 96), realizations=5,
+                            fit_kw=None, ensemble_size: int = 1000,
+                            train_frac=(0.0, 0.833, 0.917, 1.0)):
+    """{GZ, GAN, VAE} x operators x resolutions x seeds training matrix
+    (reference scripts/train_parameterizations.py:26-52)."""
+    for model_name in models:
+        for op in operators:
+            for nx in resolutions:
+                data = os.path.join(base, configuration,
+                                    f"{op}-{nx}-dealias", "*.npz")
+                ds = xr.open_mfdataset(data, "run")
+                nrun = ds["q"].sizes()["run"]
+                cuts = [int(f * nrun) for f in train_frac]
+                ds_train = ds.isel(run=slice(cuts[0], cuts[1]))
+                ds_val = ds.isel(run=slice(cuts[1], cuts[2]))
+                ds_test = ds.isel(run=slice(cuts[2], cuts[3]))
+                for seed in range(realizations):
+                    folder = os.path.join(
+                        base, configuration, f"models_{op}_{nx}",
+                        f"{model_name}-{seed}")
+                    if os.path.exists(os.path.join(folder,
+                                                   "model_args.json")):
+                        continue
+                    kw = dict(fit_kw or {})
+                    if model_name == "CGANRegression":
+                        kw.setdefault("nx", nx)
+                        model = MODEL_REGISTRY[model_name](
+                            folder=folder, nx=nx)
+                        kw.pop("nx", None)
+                    else:
+                        model = MODEL_REGISTRY[model_name](folder=folder)
+                    model.fit(ds_train, ds_val, key=seed, **kw) \
+                        if model_name != "MeanVarModel" else \
+                        model.fit(ds_train, ds_val, **kw)
+                    model.test_offline(ds_test, ensemble_size).to_npz(
+                        os.path.join(folder, "offline_test.npz"))
+
+
+def run_parameterized(base: str, model_folder: str,
+                      configuration: str = "eddy", nx: int = 64,
+                      n_ens: int = 10, years: float = 20.0,
+                      sampling: str = "AR1", nsteps: int = 1,
+                      subfolder: str = "online",
+                      sampling_freq: float = ANDREW_1000_STEPS):
+    """10-member online runs of a trained closure
+    (reference scripts/run_parameterized.py:38-67)."""
+    p = CONFIGURATIONS[configuration].with_nx(nx).replace(
+        tmax=years * YEAR, tavestart=years * YEAR / 2)
+    model = load_model(model_folder)
+    ds = run_ensemble(p, {"self": model, "sampling": sampling,
+                          "nsteps": nsteps},
+                      n_ens=n_ens, sampling_freq=sampling_freq)
+    folder = os.path.join(model_folder, subfolder)
+    os.makedirs(folder, exist_ok=True)
+    for j in range(n_ens):
+        ds.isel(run=j).to_npz(os.path.join(folder, f"{j}.npz"))
+    return ds
+
+
+def compute_online_metrics(base: str, model_folder: str, reference_glob: str,
+                           operator: str, resolution: int,
+                           subfolder: str = "online",
+                           save_file: str = "metrics.json", T: int = 128):
+    """Coarsegrain the reference, compare, write one JSON per run
+    (reference scripts/compute_online_metrics.py:19-48)."""
+    model_ds = xr.open_mfdataset(
+        os.path.join(model_folder, subfolder, "*.npz"), "run")
+    ref = xr.open_mfdataset(reference_glob, "run")
+    target = coarsegrain_reference_dataset(ref, resolution, operator)
+    norm, diffs, scales = diagnostic_differences(model_ds, target, T=T)
+    norm["key"] = os.path.basename(model_folder)
+    path = os.path.join(model_folder, save_file)
+    with open(path, "w") as f:
+        json.dump(norm, f)
+    return norm

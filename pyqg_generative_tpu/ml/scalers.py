@@ -25,6 +25,13 @@ class ChannelwiseScaler:
             self.mean = x64.mean(axis=(0, 1, 2), keepdims=True).astype("float32")
             self.std = x64.std(axis=(0, 1, 2), keepdims=True).astype("float32")
 
+    @classmethod
+    def from_stats(cls, mean, std) -> "ChannelwiseScaler":
+        sc = cls()
+        sc.mean = np.asarray(mean, "float32").reshape(1, 1, 1, -1)
+        sc.std = np.asarray(std, "float32").reshape(1, 1, 1, -1)
+        return sc
+
     # shape (1, 1, 1, C) broadcasting against NHWC batches
     def direct(self, X):
         return (X - self.mean) / self.std

@@ -260,6 +260,105 @@ def loss_to_dataset(log: dict):
     return ds, len(next(iter(log.values()), []))
 
 
+def make_gan_batch_step(net: CGANRegression, txG, txD):
+    """One full GAN training step (critic update + every-5th generator
+    update) as a pure function — shared by the epoch scan and by the
+    multi-chip sharded dryrun.
+
+    carry = (paramsG, batch_stats_G, optG, paramsD, optD)
+    batch = (x, y, ymean) NHWC; i = global batch index; key = PRNG key.
+    """
+
+    def d_apply(paramsD, xin):
+        return net.D.apply({"params": paramsD,
+                            "batch_stats": net.vars_D["batch_stats"]},
+                           xin, train=False)
+
+    def g_forward(paramsG, bsG, x, z, train):
+        return bn_apply(net.G, paramsG, bsG,
+                        jnp.concatenate([x, z], axis=-1), train)
+
+    def batch_step(c, batch, i, kb):
+        pG, bsG, oG, pD, oD = c
+        x, y, ymean = batch
+        kz1, kz2, keps, kswap, _ = jax.random.split(kb, 5)
+        if net.regression == "residual_loss":
+            y = y - ymean
+        zshape = x.shape[:-1] + (net.n_latent,)
+        z1 = jax.random.normal(kz1, zshape)
+        z2 = jax.random.normal(kz2, zshape)
+
+        yfake1, bsG = g_forward(pG, bsG, x, z1, True)
+        yfake2, bsG = g_forward(pG, bsG, x, z2, True)
+        if net.regression == "full_loss":
+            yfake1 = yfake1 + ymean
+            yfake2 = yfake2 + ymean
+        yf1 = jax.lax.stop_gradient(yfake1)
+        yf2 = jax.lax.stop_gradient(yfake2)
+
+        # ---------------- critic update -----------------------------------
+        def d_loss_fn(pD):
+            Dtrue1 = d_apply(pD, jnp.concatenate([x, y, yf2], -1))
+            Dtrue2 = d_apply(pD, jnp.concatenate([x, yf1, y], -1))
+            Dfake = d_apply(pD, jnp.concatenate([x, yf1, yf2], -1))
+            D_loss = -0.5 * (Dtrue1.mean() + Dtrue2.mean()) + Dfake.mean()
+            D_drift = LAMBDA_DRIFT * (Dtrue1 ** 2).mean()
+
+            eps = jax.random.uniform(keps, (x.shape[0], 1, 1, 1))
+            swap = jax.random.bernoulli(kswap)
+            ytrue_cat = jnp.where(
+                swap, jnp.concatenate([yf1, y], -1),
+                jnp.concatenate([y, yf2], -1))
+            yfake_cat = jnp.concatenate([yf1, yf2], -1)
+            yinterp = eps * ytrue_cat + (1 - eps) * yfake_cat
+
+            def d_on_interp(yi):
+                return d_apply(pD, jnp.concatenate([x, yi], -1)).sum()
+
+            dDdy = jax.grad(d_on_interp)(yinterp)
+            norms = jnp.sqrt(
+                (dDdy.reshape(dDdy.shape[0], -1) ** 2).sum(-1) + 1e-12)
+            D_grad = LAMBDA_GP * ((norms - 1.0) ** 2).mean()
+            return D_loss + D_grad + D_drift, (D_loss, D_grad, D_drift)
+
+        (_, (D_loss, D_grad, D_drift)), gD = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(pD)
+        updD, oD = txD.update(gD, oD, pD)
+        pD = optax.apply_updates(pD, updD)
+
+        # ---------------- generator update (every 5th batch) --------------
+        def g_step(args):
+            pG, bsG, oG = args
+
+            def g_loss_fn(pG):
+                yg1, bs1 = g_forward(pG, bsG, x, z1, True)
+                yg2, bs2 = g_forward(pG, bs1, x, z2, True)
+                if net.regression == "full_loss":
+                    yg1 = yg1 + ymean
+                    yg2 = yg2 + ymean
+                G_loss = -d_apply(
+                    pD, jnp.concatenate([x, yg1, yg2], -1)).mean()
+                return G_loss, bs2
+
+            (G_loss, bsG), gG = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(pG)
+            updG, oG = txG.update(gG, oG, pG)
+            pG = optax.apply_updates(pG, updG)
+            return (pG, bsG, oG), G_loss.astype(jnp.float32)
+
+        def g_skip(args):
+            return args, jnp.zeros((), jnp.float32)
+
+        (pG, bsG, oG), G_loss = jax.lax.cond(
+            i % 5 == 0, g_step, g_skip, (pG, bsG, oG))
+
+        metrics = {"D_loss": D_loss, "D_grad": D_grad,
+                   "D_drift": D_drift, "G_loss": G_loss}
+        return (pG, bsG, oG, pD, oD), metrics
+
+    return batch_step
+
+
 def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
                num_epochs: int, batch_size: int, learning_rate: float,
                nruns=5, verbose=True, key: int = 0):
@@ -300,99 +399,13 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
     Yd = jnp.asarray(Y_train)
     Md = jnp.asarray(Y_mean)
 
-    def d_apply(paramsD, xin):
-        return net.D.apply({"params": paramsD,
-                            "batch_stats": net.vars_D["batch_stats"]},
-                           xin, train=False)
-
-    def g_forward(paramsG, bsG, x, z, train):
-        out, new_bs = bn_apply(net.G, paramsG, bsG,
-                               jnp.concatenate([x, z], axis=-1), train)
-        return out, new_bs
+    batch_step = make_gan_batch_step(net, txG, txD)
 
     def train_epoch(carry, perm, ekey):
         def body(c, inp):
-            pG, bsG, oG, pD, oD = c
             idx, i = inp
             kb = jax.random.fold_in(ekey, i)
-            kz1, kz2, keps, kswap, kgp = jax.random.split(kb, 5)
-            x = Xd[idx]
-            y = Yd[idx]
-            ymean = Md[idx]
-            if net.regression == "residual_loss":
-                y = y - ymean
-            zshape = x.shape[:-1] + (net.n_latent,)
-            z1 = jax.random.normal(kz1, zshape)
-            z2 = jax.random.normal(kz2, zshape)
-
-            yfake1, bsG = g_forward(pG, bsG, x, z1, True)
-            yfake2, bsG = g_forward(pG, bsG, x, z2, True)
-            if net.regression == "full_loss":
-                yfake1 = yfake1 + ymean
-                yfake2 = yfake2 + ymean
-            yf1 = jax.lax.stop_gradient(yfake1)
-            yf2 = jax.lax.stop_gradient(yfake2)
-
-            # ---------------- critic update -------------------------------
-            def d_loss_fn(pD):
-                Dtrue1 = d_apply(pD, jnp.concatenate([x, y, yf2], -1))
-                Dtrue2 = d_apply(pD, jnp.concatenate([x, yf1, y], -1))
-                Dfake = d_apply(pD, jnp.concatenate([x, yf1, yf2], -1))
-                D_loss = -0.5 * (Dtrue1.mean() + Dtrue2.mean()) + Dfake.mean()
-                D_drift = LAMBDA_DRIFT * (Dtrue1 ** 2).mean()
-
-                eps = jax.random.uniform(keps, (x.shape[0], 1, 1, 1))
-                swap = jax.random.bernoulli(kswap)
-                ytrue_cat = jnp.where(
-                    swap, jnp.concatenate([yf1, y], -1),
-                    jnp.concatenate([y, yf2], -1))
-                yfake_cat = jnp.concatenate([yf1, yf2], -1)
-                yinterp = eps * ytrue_cat + (1 - eps) * yfake_cat
-
-                def d_on_interp(yi):
-                    return d_apply(pD, jnp.concatenate([x, yi], -1)).sum()
-
-                dDdy = jax.grad(d_on_interp)(yinterp)
-                norms = jnp.sqrt(
-                    (dDdy.reshape(dDdy.shape[0], -1) ** 2).sum(-1) + 1e-12)
-                D_grad = LAMBDA_GP * ((norms - 1.0) ** 2).mean()
-                total = D_loss + D_grad + D_drift
-                return total, (D_loss, D_grad, D_drift)
-
-            (loss_d, (D_loss, D_grad, D_drift)), gD = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(pD)
-            updD, oD = txD.update(gD, oD, pD)
-            pD = optax.apply_updates(pD, updD)
-
-            # ---------------- generator update (every 5th batch) ----------
-            def g_step(args):
-                pG, bsG, oG = args
-
-                def g_loss_fn(pG):
-                    yg1, bs1 = g_forward(pG, bsG, x, z1, True)
-                    yg2, bs2 = g_forward(pG, bs1, x, z2, True)
-                    if net.regression == "full_loss":
-                        yg1 = yg1 + ymean
-                        yg2 = yg2 + ymean
-                    G_loss = -d_apply(
-                        pD, jnp.concatenate([x, yg1, yg2], -1)).mean()
-                    return G_loss, bs2
-
-                (G_loss, bsG), gG = jax.value_and_grad(
-                    g_loss_fn, has_aux=True)(pG)
-                updG, oG = txG.update(gG, oG, pG)
-                pG = optax.apply_updates(pG, updG)
-                return (pG, bsG, oG), G_loss
-
-            def g_skip(args):
-                return args, jnp.zeros((), jnp.float32)
-
-            (pG, bsG, oG), G_loss = jax.lax.cond(
-                i % 5 == 0, g_step, g_skip, (pG, bsG, oG))
-
-            metrics = {"D_loss": D_loss, "D_grad": D_grad,
-                       "D_drift": D_drift, "G_loss": G_loss}
-            return (pG, bsG, oG, pD, oD), metrics
+            return batch_step(c, (Xd[idx], Yd[idx], Md[idx]), i, kb)
 
         steps_idx = jnp.arange(perm.shape[0])
         carry, metrics = jax.lax.scan(body, carry, (perm, steps_idx))

@@ -187,13 +187,25 @@ def step(state: QGState, p: QGParams,
 # initialization
 # --------------------------------------------------------------------------
 
-def init_state(q: jnp.ndarray, p: QGParams, t: float = 0.0) -> QGState:
-    """Build a state pytree from a real-space PV field (2, ny, nx)."""
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _init_state_impl(q, t, p: QGParams) -> QGState:
     qh = _rfft2(jnp.asarray(q, p.dtype_real)).astype(p.dtype_complex)
     zeros = jnp.zeros_like(qh)
     return QGState(qh=qh, dqhdt_p=zeros, dqhdt_pp=zeros,
                    t=jnp.asarray(t, p.dtype_real),
                    tc=jnp.asarray(0, jnp.int32))
+
+
+def init_state(q: jnp.ndarray, p: QGParams, t: float = 0.0) -> QGState:
+    """Build a state pytree from a real-space PV field (2, ny, nx).
+
+    Jitted: complex ops must never run eagerly (the TPU runtime here has no
+    eager complex kernels)."""
+    return _init_state_impl(jnp.asarray(q, p.dtype_real),
+                            jnp.asarray(t, p.dtype_real), p)
 
 
 def default_initial_q(p: QGParams, key=None, rng: np.random.Generator | None = None):

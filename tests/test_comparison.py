@@ -1,0 +1,91 @@
+"""Online metrics: Wasserstein + spectral diffs, reference coarse-graining,
+derived statistics."""
+import numpy as np
+import pytest
+
+from pyqg_generative_tpu.eval.comparison import (
+    DISTRIB_KEYS, SPECTRAL_KEYS, coarsegrain_reference_dataset, curl,
+    dataset_smart_read, dataset_statistics, diagnostic_differences,
+    distrib_score, spectral_score)
+from pyqg_generative_tpu.qg.params import QGParams
+from pyqg_generative_tpu.sim import run_simulation
+from pyqg_generative_tpu.utils import xrlite as xr
+
+P = QGParams(nx=32, dt=14400.0, tmax=60 * 14400.0, tavestart=10 * 14400.0,
+             taveint=14400.0, precision="double")
+SNAP = 10 * 14400.0
+
+
+@pytest.fixture(scope="module")
+def sim_ds():
+    return run_simulation(P, sampling_freq=SNAP, key=0)
+
+
+@pytest.fixture(scope="module")
+def sim_ds2():
+    return run_simulation(P, sampling_freq=SNAP, key=7)
+
+
+def test_curl_of_gradient_free_field():
+    g = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    X, Y = np.meshgrid(g, g)
+    # pure gradient flow (u, v) = (cos x, 0) has curl = 0 along x only:
+    u = np.cos(X)
+    v = np.zeros_like(u)
+    c = curl(u, v)
+    # dv/dx - du/dy = 0 here
+    np.testing.assert_allclose(c, 0.0, atol=1e-10)
+
+
+def test_diagnostic_differences_self_zero(sim_ds):
+    norm, diffs, scales = diagnostic_differences(sim_ds, sim_ds, T=4)
+    for k in DISTRIB_KEYS:
+        assert norm[k] == 0.0, k
+    for k in ("spectral_diff_KEspec1", "spectral_diff_KEspec2",
+              "spectral_diff_Eflux", "spectral_diff_APEgenspec"):
+        assert norm[k] == 0.0, k
+    assert distrib_score(norm) == 0.0
+    assert spectral_score(norm) == 0.0
+
+
+def test_diagnostic_differences_detects_mismatch(sim_ds, sim_ds2):
+    norm, diffs, scales = diagnostic_differences(sim_ds, sim_ds2, T=4)
+    assert distrib_score(norm) > 0
+    assert spectral_score(norm) > 0
+    assert np.isfinite(list(norm.values())).all()
+
+
+def test_coarsegrain_reference_dataset(sim_ds):
+    dsf = coarsegrain_reference_dataset(sim_ds, 16, "Operator2")
+    assert dsf["q"].shape == (6, 2, 16, 16)
+    assert dsf["KEspec"].shape == (2, 16, 9)
+    # energy spectra reduced by coarse-graining (filter <= 1)
+    orig = sim_ds["KEspec"].values
+    trunc = np.concatenate([orig[..., :8, :9], orig[..., -8:, :9]], axis=-2)
+    assert (dsf["KEspec"].values <= trunc + 1e-30).all()
+    # sharp operator leaves the truncated box untouched
+    dsf5 = coarsegrain_reference_dataset(sim_ds, 16, "Operator5")
+    np.testing.assert_allclose(dsf5["KEspec"].values, trunc)
+
+
+def test_dataset_statistics_keys(sim_ds):
+    stats = dataset_statistics(sim_ds, delta=0.25)
+    for k in ("omega", "KE", "Ens", "Vabs", "PDF_q1", "PDF_KE2", "KEspecr",
+              "KEspecr_mean", "KEfluxr", "Energysumr", "Efluxr", "KE_time"):
+        assert k in stats, k
+    assert stats["KEspecr"].dims == ("lev", "kr")
+    assert np.isfinite(stats["KE_time"].values).all()
+    assert stats["KE_time"].values.shape == (6,)
+
+
+def test_dataset_smart_read_cache(tmp_path, sim_ds):
+    for i in range(2):
+        sim_ds.to_npz(str(tmp_path / f"{i}.npz"))
+    path = str(tmp_path / "*.npz")
+    ds1 = dataset_smart_read(path, compute_all=False)
+    assert "PDF_q1" in ds1
+    # cache file created and reused
+    caches = [f for f in tmp_path.iterdir() if "cache" in f.name]
+    assert len(caches) == 1
+    ds2 = dataset_smart_read(path, compute_all=False)
+    np.testing.assert_allclose(ds1["PDF_q1"].values, ds2["PDF_q1"].values)
