@@ -1,3 +1,4 @@
 from . import simulate, stochastic
 from .simulate import (run_simulation, run_ensemble,
-                       generate_subgrid_forcing, set_initial_condition)
+                       generate_subgrid_forcing, set_initial_condition,
+                       init_run_carry, advance_run)

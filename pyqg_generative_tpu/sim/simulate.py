@@ -35,7 +35,8 @@ from ..qg.params import ANDREW_1000_STEPS, DAY, QGParams
 from ..utils import xrlite as xr
 
 __all__ = ["run_simulation", "run_ensemble", "generate_subgrid_forcing",
-           "set_initial_condition", "make_online_step"]
+           "set_initial_condition", "make_online_step", "init_run_carry",
+           "advance_run"]
 
 
 def set_initial_condition(p: QGParams, key: int | jax.Array = 0):
@@ -108,30 +109,51 @@ def _snapshot(state: core.QGState, p: QGParams):
             "v": flds.v.astype(jnp.float32), "psi": psi}
 
 
+def init_run_carry(p: QGParams, q0, key, model=None, with_diags=True):
+    """Initial scan carry (QGState, SamplerState|None, DiagAccumulator|None)
+    — this pytree IS the checkpointable simulation state (solver fields, AB3
+    tendency lags, noise memory, cached forcing, PRNG key, diagnostic
+    accumulators; SURVEY §5.4)."""
+    from .stochastic import init_sampler
+
+    state = core.init_state(q0, p)
+    sstate = None
+    if model is not None:
+        sstate = init_sampler(key, model, p.ny_, p.nx, p.dtype_real)
+    acc = diagnostics.init_diags(p, with_param=model is not None) \
+        if with_diags else None
+    return (state, sstate, acc)
+
+
+def _advance_program(p: QGParams, model, sampling, nsteps,
+                     steps_per_snap: int, n_snaps: int, with_diags: bool):
+    """(carry) -> (carry, snapshots, running diag means): jittable resumable
+    segment of a simulation."""
+    step = make_online_step(p, model, sampling, nsteps, with_diags)
+
+    def advance(carry):
+        def chunk(c, _):
+            def inner(cc, _):
+                return step(cc), None
+            c, _ = jax.lax.scan(inner, c, None, length=steps_per_snap)
+            return c, _snapshot(c[0], p)
+
+        carry, snaps = jax.lax.scan(chunk, carry, None, length=n_snaps)
+        diags = diagnostics.finalize(carry[2]) if with_diags else {}
+        return carry, snaps, diags
+
+    return advance
+
+
 def _simulate_program(p: QGParams, model, sampling, nsteps,
                       steps_per_snap: int, n_snaps: int, with_diags: bool):
     """The whole simulation as one jittable function of (q0, key)."""
-    from .stochastic import init_sampler
-
-    step = make_online_step(p, model, sampling, nsteps, with_diags)
+    advance = _advance_program(p, model, sampling, nsteps, steps_per_snap,
+                               n_snaps, with_diags)
 
     def run(q0, key):
-        state = core.init_state(q0, p)
-        sstate = None
-        if model is not None:
-            sstate = init_sampler(key, model, p.ny_, p.nx, p.dtype_real)
-        acc = diagnostics.init_diags(p, with_param=model is not None) \
-            if with_diags else None
-
-        def chunk(carry, _):
-            def inner(c, _):
-                return step(c), None
-            carry, _ = jax.lax.scan(inner, carry, None, length=steps_per_snap)
-            return carry, _snapshot(carry[0], p)
-
-        (state, sstate, acc), snaps = jax.lax.scan(
-            chunk, (state, sstate, acc), None, length=n_snaps)
-        diags = diagnostics.finalize(acc) if with_diags else {}
+        carry = init_run_carry(p, q0, key, model, with_diags)
+        _, snaps, diags = advance(carry)
         return snaps, diags
 
     return run
@@ -161,6 +183,33 @@ def _build_dataset(snaps: dict, diags: dict, p: QGParams,
     ds["time"] = xr.DataArray(time_days, ("time",),
                               attrs={"units": "days"})
     return ds
+
+
+def advance_run(carry, pyqg_params: QGParams, parameterization=None,
+                n_snaps: int = 1,
+                sampling_freq: float = ANDREW_1000_STEPS,
+                with_diags: bool = True):
+    """Advance a (possibly checkpoint-restored) run carry by `n_snaps`
+    snapshot intervals. Returns (carry, Dataset segment). Together with
+    `init_run_carry` and `utils.checkpoints` this gives exact mid-run
+    checkpoint/resume — a capability the reference lacks (SURVEY §5.4)."""
+    p = pyqg_params
+    model, sampling, nsteps = _normalize_parameterization(parameterization)
+    steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
+    tc0 = int(jax.device_get(carry[0].tc))
+    advance = jax.jit(_advance_program(
+        p, model, sampling, nsteps, steps_per_snap, n_snaps, with_diags))
+    carry, snaps, diags = advance(carry)
+    ds = _build_dataset(jax.device_get(snaps), jax.device_get(diags), p,
+                        steps_per_snap * p.dt, n_snaps)
+    # shift the time coordinate by the carry's starting step
+    t0_days = tc0 * p.dt / DAY
+    times = ds["time"].values + t0_days
+    for k in list(ds.keys()):
+        if "time" in ds[k].coords:
+            ds[k].coords["time"] = times
+    ds["time"] = xr.DataArray(times, ("time",), attrs={"units": "days"})
+    return carry, ds
 
 
 def run_simulation(pyqg_params: QGParams, parameterization=None,
