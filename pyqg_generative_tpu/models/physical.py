@@ -251,6 +251,58 @@ class ADM(PhysicalParameterization):
         return advect(q, u, v) - self._filter(advect(qs, us, vs))
 
 
+@register_model
+class ReynoldsStress(PhysicalParameterization):
+    """Scale-similarity (Bardina) Reynolds-stress closure: the subgrid
+    momentum flux is estimated from the resolved flow with a Gaussian test
+    filter G,  tau_ij = G(u_i u_j) - G(u_i) G(u_j),  the forcing is
+    -div(tau), curl-converted to PV (re-derivation of the reference's
+    `pyqg.parameterizations.Reynolds_stress` baseline family)."""
+
+    def __init__(self, folder: str = "model", **kw):
+        self.folder = folder
+
+    def _filter(self, x):
+        return gauss_filter(x, x.shape[-1] // 2)
+
+    def forcing_from_fields(self, flds, p):
+        u, v = flds.u, flds.v
+        ny, nx = u.shape[-2], u.shape[-1]
+        G = self._filter
+        tau_uu = G(u * u) - G(u) * G(u)
+        tau_uv = G(u * v) - G(u) * G(v)
+        tau_vv = G(v * v) - G(v) * G(v)
+        ik, il, _ = _spectral(ny, nx, _rfft2(u).dtype)
+        du = -_irfft2(ik * _rfft2(tau_uu) + il * _rfft2(tau_uv), ny, nx)
+        dv = -_irfft2(ik * _rfft2(tau_uv) + il * _rfft2(tau_vv), ny, nx)
+        return _curl_to_q(du, dv)
+
+
+@register_model
+class HybridSymbolic(PhysicalParameterization):
+    """Symbolic-regression-family closure (Ross et al. 2023 discover that the
+    leading subgrid-PV term is proportional to the Laplacian of the resolved
+    advection tendency). Implemented as
+        S = kappa * dx^2 * lap( adv(q, u, v) )
+    with kappa < 0 acting as a scale-selective dissipation of the advective
+    tendency; the dx^2 factor makes kappa resolution-independent.
+    Re-derivation (approximate) of the reference's
+    `pyqg.parameterizations.HybridSymbolic` baseline."""
+
+    def __init__(self, kappa: float = -0.05, folder: str = "model", **kw):
+        self.kappa = kappa
+        self.folder = folder
+
+    def forcing_from_fields(self, flds, p):
+        q, u, v = flds.q, flds.u, flds.v
+        ny, nx = q.shape[-2], q.shape[-1]
+        g = make_grid(nx, ny, p.L, p.W_)
+        wv2 = jnp.asarray(g.wv2, q.dtype)
+        tend = advect(q, u, v)
+        lap = _irfft2(-wv2 * _rfft2(tend), ny, nx)
+        return self.kappa * g.dx ** 2 * lap
+
+
 # reference-name aliases for the registry / CLI
 @register_model
 class BackscatterBiharmonicEddy(BackscatterBiharmonic):
