@@ -45,7 +45,8 @@ class CGANRegression(Parameterization):
     def __init__(self, regression: str = "None", nx: int = 64,
                  generator: str = "Andrew", folder: str = "model",
                  div: bool = False,
-                 hidden_channels=(128, 64, 32, 32, 32, 32, 32)):
+                 hidden_channels=(128, 64, 32, 32, 32, 32, 32),
+                 inference_dtype: str = "float32"):
         self.folder = folder
         self.regression = regression
         self.generator = generator
@@ -53,12 +54,21 @@ class CGANRegression(Parameterization):
         self.div = div
         self.hidden_channels = tuple(hidden_channels)
         self.n_latent = 2
+        # compute dtype of the *online* generator path; params stay float32
+        # (bfloat16 doubles MXU throughput inside the fused solver step)
+        self._infer_dtype = jnp.bfloat16 \
+            if inference_dtype == "bfloat16" else jnp.float32
 
         if generator == "Andrew":
             self.G = AndrewCNN(n_out=2, div=div,
                                hidden_channels=self.hidden_channels)
+            self.G_online = AndrewCNN(n_out=2, div=div,
+                                      hidden_channels=self.hidden_channels,
+                                      dtype=self._infer_dtype)
         elif generator == "DeepInversion":
             self.G = DeepInversionGenerator(n_out=2)
+            self.G_online = DeepInversionGenerator(n_out=2,
+                                                   dtype=self._infer_dtype)
         else:
             raise ValueError("generator not implemented")
         self.D = DCGANDiscriminator(nx=nx, bn="None")
@@ -148,7 +158,14 @@ class CGANRegression(Parameterization):
 
     def predict_snapshot(self, q, noise):
         x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
-        y = self.generate(x, noise[None]) * jnp.asarray(self.y_scale.std)
+        y, _ = bn_apply(self.G_online, self.vars_G["params"],
+                        self.vars_G["batch_stats"],
+                        jnp.concatenate([x, noise[None]], axis=-1), False)
+        y = y.astype(jnp.float32)
+        if self.regression != "None":
+            y = y + bn_apply(self.net_mean, self.vars_mean["params"],
+                             self.vars_mean["batch_stats"], x, False)[0]
+        y = y * jnp.asarray(self.y_scale.std)
         return lev_from_nhwc(y).astype(q.dtype)
 
     def predict_mean_snapshot(self, q, M: int = 100, key=None):
