@@ -121,6 +121,68 @@ def run_parameterized(base: str, model_folder: str,
     return ds
 
 
+def run_forecasting(base: str, model_folder: str | None,
+                    ic_glob: str, configuration: str = "eddy",
+                    nx: int = 64, n_ic: int = 15, n_ens: int = 15,
+                    decorrelations=(0, 12, 24, 36, 48), days: float = 90.0,
+                    sampling: str = "AR1",
+                    subfolder: str = "forecast"):
+    """Ensemble forecasts: n_ic initial conditions x n_ens members x
+    noise-decorrelation times, saving member-0 and the ensemble mean
+    (reference scripts/run_forecasting.py:8-62 + tools/simulate.py:254-293).
+    `decorrelations` are in hours; 0 means white noise (nsteps=1)."""
+    from ..qg.params import DAY
+    p0 = CONFIGURATIONS[configuration].with_nx(nx)
+    p = p0.replace(tmax=days * DAY, tavestart=days * DAY)
+    model = load_model(model_folder) if model_folder else None
+    import glob as _glob
+    ic_files = sorted(_glob.glob(ic_glob))[:n_ic]
+    for dec in decorrelations:
+        nsteps = max(1, int(round(dec * 3600.0 / p.dt)))
+        for number, path in enumerate(ic_files):
+            ic = xr.Dataset.from_npz(path)
+            q_init = ic["q"].isel(time=-1).values
+            if "run" in ic["q"].dims:
+                q_init = q_init[0]
+            param = None if model is None else \
+                {"self": model, "sampling": sampling, "nsteps": nsteps}
+            ds = run_ensemble(p, param, n_ens=n_ens, q_init=q_init,
+                              sampling_freq=DAY, key=number,
+                              with_diags=False)
+            out = xr.Dataset(attrs=ds.attrs)
+            for var in ("q", "u", "v", "psi"):
+                out[var] = ds[var].isel(run=0)
+                out[var + "_mean"] = ds[var].mean("run")
+            folder = os.path.join(base, subfolder, f"decorrelation-{dec}h")
+            os.makedirs(folder, exist_ok=True)
+            out.to_npz(os.path.join(folder, f"{number}.npz"))
+
+
+def train_ANN(base: str, configurations=("eddy", "jet"),
+              resolutions=(48, 96), operator: str = "Operator2",
+              folder_name: str = "ann_model", fit_kw=None):
+    """Joint multi-configuration ANN training (eddy+jet x resolutions) with
+    cross-config offline testing (reference tools/train_ANN.py:19-37)."""
+    from ..models.ann_model import ANNModel
+    train_sets, test_sets = [], []
+    for cfg in configurations:
+        for nx in resolutions:
+            data = os.path.join(base, cfg, f"{operator}-{nx}-dealias",
+                                "*.npz")
+            ds = xr.open_mfdataset(data, "run")
+            nrun = ds["q"].sizes()["run"]
+            train_sets.append(ds.isel(run=slice(0, int(0.9 * nrun))))
+            test_sets.append(ds.isel(run=slice(int(0.9 * nrun), nrun)))
+    folder = os.path.join(base, folder_name)
+    model = ANNModel(folder=folder)
+    model.fit(train_sets, test_sets, **(fit_kw or {}))
+    for cfg_ds, name in zip(test_sets, [f"{c}-{n}" for c in configurations
+                                        for n in resolutions]):
+        model.test_offline(cfg_ds, ensemble_size=2).to_npz(
+            os.path.join(folder, f"offline_{name}.npz"))
+    return model
+
+
 def compute_online_metrics(base: str, model_folder: str, reference_glob: str,
                            operator: str, resolution: int,
                            subfolder: str = "online",

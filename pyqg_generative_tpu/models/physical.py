@@ -303,6 +303,30 @@ class HybridSymbolic(PhysicalParameterization):
         return self.kappa * g.dx ** 2 * lap
 
 
+@register_model
+class Laplace(PhysicalParameterization):
+    """Molecular-viscosity parameterization: dq = nu * lap(q) (PV=True) or
+    nu * lap(lap(psi)) (reference tools/simulate.py:207-225, the
+    --molecular_viscosity CLI branch)."""
+
+    def __init__(self, nu: float = 0.0, PV: bool = False,
+                 folder: str = "model", **kw):
+        self.nu = nu
+        self.PV = PV
+        self.folder = folder
+
+    def forcing_from_fields(self, flds, p):
+        q = flds.q
+        ny, nx = q.shape[-2], q.shape[-1]
+        g = make_grid(nx, ny, p.L, p.W_)
+        wv2 = jnp.asarray(g.wv2, q.dtype)
+        if self.PV:
+            field_h = _rfft2(q)
+        else:
+            field_h = -wv2 * flds.ph  # relative vorticity
+        return self.nu * _irfft2(-wv2 * field_h, ny, nx)
+
+
 # reference-name aliases for the registry / CLI
 @register_model
 class BackscatterBiharmonicEddy(BackscatterBiharmonic):

@@ -26,7 +26,8 @@ __all__ = [
     "cut_off", "gauss_filter", "model_filter", "gcm_filter", "coarsegrain",
     "clean_2h", "fft_interpolate", "Operator1", "Operator2", "Operator3",
     "Operator4", "Operator5", "OPERATORS", "divergence", "advect",
-    "PV_subgrid_forcing", "PV_subgrid_flux", "coarse_fields", "ave_lev",
+    "PV_subgrid_forcing", "PV_subgrid_flux", "PV_forcing_total",
+    "PV_forcing_true_total", "coarse_fields", "ave_lev",
 ]
 
 FILTER_2h_HARMONICS = True
@@ -245,6 +246,43 @@ def PV_subgrid_forcing(q, nc: int, operator: Callable, p: QGParams,
     forcing = advect(qc, uc, vc, dealias) - operator(
         advect(qh_, uh_, vh_, dealias), nc)
     return forcing, (qc, uc, vc, psic)
+
+
+def PV_forcing_total(q, nc: int, operator: Callable, p: QGParams):
+    """Total-tendency subgrid forcing: filter(dq/dt|hires) − dq/dt|coarse,
+    with the RHS including advection + mean terms + friction (reference
+    tools/operators.py:289-307, which calls pyqg's _do_advection/_do_friction)."""
+    ph = p.replace(nx=q.shape[-1], ny=None)
+    pc = p.replace(nx=nc, ny=None)
+
+    def tendency_real(qfield, pp):
+        st = core.init_state(qfield, pp)
+        flds = core.fields(st.qh, pp)
+        dqhdt = core.advection_tendency(flds.q, flds.u, flds.v, flds.ph, pp)
+        dqhdt = dqhdt + core.friction_tendency(flds.ph, pp)
+        return jnp.fft.irfftn(dqhdt, s=(pp.ny_, pp.nx), axes=(-2, -1))
+
+    t_hi = tendency_real(q, ph)
+    t_lo = tendency_real(operator(q, nc), pc)
+    return operator(t_hi, nc) - t_lo
+
+
+def PV_forcing_true_total(q, nc: int, operator: Callable, p: QGParams):
+    """Like PV_forcing_total but through one full filtered timestep:
+    filter((q(t+dt) − q(t))/dt) differenced between resolutions
+    (reference tools/operators.py:309-330)."""
+    ph = p.replace(nx=q.shape[-1], ny=None)
+    pc = p.replace(nx=nc, ny=None)
+
+    def one_step_rate(qfield, pp):
+        st = core.init_state(qfield, pp)
+        st1 = core.step(st, pp)
+        q1 = jnp.fft.irfftn(st1.qh, s=(pp.ny_, pp.nx), axes=(-2, -1))
+        return (q1 - qfield) / pp.dt
+
+    r_hi = one_step_rate(q, ph)
+    r_lo = one_step_rate(operator(q, nc), pc)
+    return operator(r_hi, nc) - r_lo
 
 
 def PV_subgrid_flux(q, nc: int, operator: Callable, p: QGParams):

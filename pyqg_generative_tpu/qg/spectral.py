@@ -97,6 +97,32 @@ class spectrum:
         self.truncate = truncate
         self.time = time
 
+    def check_parseval(self, sp: xr.DataArray, *arrays: xr.DataArray) -> float:
+        """Relative error between the spectral sum and the physical-space
+        variance/energy — the reference's built-in `spectrum.test` invariant
+        (reference tools/spectral_tools.py:19-43). Only exact for
+        averaging=False, truncate=False."""
+        k = sp.coords["k"]
+        dk = k[1] - k[0]
+        Esp = float(sp.values.sum() * dk)
+
+        def sel(a):
+            x = a.isel(time=self.time).values.astype("float64")
+            return x - x.mean(axis=(-2, -1), keepdims=True)
+
+        x0 = sel(arrays[0])
+        if self.type == "power":
+            E = (x0 ** 2).mean(axis=(0, 1, 3, 4)).sum()
+        elif self.type == "energy":
+            E = (0.5 * x0 ** 2).mean(axis=(0, 1, 3, 4)).sum()
+        elif self.type == "cospectrum":
+            E = (x0 * sel(arrays[1])).mean(axis=(0, 1, 3, 4)).sum()
+        elif self.type == "cross_layer":
+            E = (x0[:, :, 0] * x0[:, :, 1]).mean()
+        else:
+            raise ValueError(self.type)
+        return abs((Esp - E) / E)
+
     def _fft2d(self, arr: xr.DataArray) -> np.ndarray:
         M = arr.shape[-1] * arr.shape[-2]
         x = arr.isel(time=self.time).values.astype("float64")

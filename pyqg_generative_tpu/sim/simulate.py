@@ -36,7 +36,7 @@ from ..utils import xrlite as xr
 
 __all__ = ["run_simulation", "run_ensemble", "generate_subgrid_forcing",
            "set_initial_condition", "make_online_step", "init_run_carry",
-           "advance_run"]
+           "advance_run", "run_with_snapshots"]
 
 
 def set_initial_condition(p: QGParams, key: int | jax.Array = 0):
@@ -210,6 +210,29 @@ def advance_run(carry, pyqg_params: QGParams, parameterization=None,
             ds[k].coords["time"] = times
     ds["time"] = xr.DataArray(times, ("time",), attrs={"units": "days"})
     return carry, ds
+
+
+def run_with_snapshots(pyqg_params: QGParams, parameterization=None,
+                       q_init=None,
+                       sampling_freq: float = ANDREW_1000_STEPS,
+                       key: int = 0, with_diags: bool = True):
+    """Generator yielding one Dataset segment per snapshot interval —
+    API parity with pyqg's `run_with_snapshots(tsnapint)` loop the reference
+    drives (reference tools/simulate.py:137). Each yield returns (t_seconds,
+    Dataset with the single newest snapshot + running diagnostics); the
+    device program is the same fused scan, advanced chunk by chunk."""
+    p = pyqg_params
+    model, sampling, nsteps = _normalize_parameterization(parameterization)
+    q0 = jnp.asarray(q_init, p.dtype_real) if q_init is not None \
+        else set_initial_condition(p, key)
+    carry = init_run_carry(p, q0, jax.random.PRNGKey(key), model, with_diags)
+    steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
+    n_snaps = max(1, int(p.tmax // (steps_per_snap * p.dt)))
+    for _ in range(n_snaps):
+        carry, ds = advance_run(carry, p, parameterization, n_snaps=1,
+                                sampling_freq=sampling_freq,
+                                with_diags=with_diags)
+        yield float(jax.device_get(carry[0].t)), ds
 
 
 def run_simulation(pyqg_params: QGParams, parameterization=None,

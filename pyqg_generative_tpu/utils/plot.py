@@ -7,7 +7,26 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["default_rcParams", "imshow", "create_animation", "set_letters",
-           "latex_float"]
+           "latex_float", "outliers"]
+
+
+def outliers(x: np.ndarray, k: int = 2, iters: int = 50, seed: int = 0):
+    """1-D k-means outlier flagging (reference plot_helpers.py `outliers`):
+    cluster the values into k groups and mark members of the smallest-count
+    cluster as outliers. Returns a boolean mask."""
+    x = np.asarray(x, dtype=float).ravel()
+    rng = np.random.default_rng(seed)
+    centers = rng.choice(x, size=k, replace=False)
+    for _ in range(iters):
+        d = np.abs(x[:, None] - centers[None, :])
+        assign = d.argmin(axis=1)
+        new = np.array([x[assign == j].mean() if (assign == j).any()
+                        else centers[j] for j in range(k)])
+        if np.allclose(new, centers):
+            break
+        centers = new
+    counts = np.bincount(assign, minlength=k)
+    return assign == counts.argmin()
 
 
 def default_rcParams(kw: dict | None = None):

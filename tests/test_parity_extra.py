@@ -1,0 +1,108 @@
+"""Parity odds and ends: total-tendency forcings, run_with_snapshots,
+Laplace closure, outliers, Parseval checker, forecasting stage."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyqg_generative_tpu.qg import core, operators as op
+from pyqg_generative_tpu.qg.params import QGParams
+from pyqg_generative_tpu.qg.spectral import spectrum
+from pyqg_generative_tpu.sim import run_simulation, run_with_snapshots
+from pyqg_generative_tpu.utils import xrlite as xr
+from pyqg_generative_tpu.utils.plot import outliers
+
+P = QGParams(nx=32, dt=14400.0, tmax=40 * 14400.0, tavestart=10 * 14400.0,
+             precision="double")
+
+
+def _spun_q(nx=32, steps=3000):
+    from functools import partial
+    p = QGParams(nx=nx, dt=14400.0, precision="double")
+    st = core.init_state(core.default_initial_q(
+        p, rng=np.random.default_rng(2)), p)
+
+    @partial(jax.jit, static_argnums=1)
+    def run(st, n):
+        return jax.lax.scan(lambda s, _: (core.step(s, p), None), st,
+                            None, length=n)[0]
+
+    st = run(st, steps)
+    return np.fft.irfftn(np.asarray(st.qh), s=(nx, nx), axes=(-2, -1)), p
+
+
+def test_pv_forcing_total_variants():
+    q, p = _spun_q()
+    f1 = np.asarray(op.PV_forcing_total(jnp.asarray(q), 16, op.Operator2, p))
+    f2 = np.asarray(op.PV_forcing_true_total(jnp.asarray(q), 16,
+                                             op.Operator2, p))
+    assert f1.shape == (2, 16, 16) and f2.shape == (2, 16, 16)
+    assert np.isfinite(f1).all() and np.isfinite(f2).all()
+    assert np.abs(f1).max() > 0 and np.abs(f2).max() > 0
+    # linear terms (beta, shear, friction) commute with the spectral operator
+    # and cancel: the total forcing reduces to the nonlinear residual, which
+    # for a turbulent field is comparable to the advective subgrid forcing
+    s_adv, _ = op.PV_subgrid_forcing(jnp.asarray(q), 16, op.Operator2, p)
+    s_adv = np.asarray(s_adv)
+    ratio = np.abs(f1).std() / np.abs(s_adv).std()
+    assert 0.05 < ratio < 20.0
+
+
+def test_run_with_snapshots_matches_run_simulation():
+    segs = []
+    for t, ds in run_with_snapshots(P, sampling_freq=10 * 14400.0, key=5):
+        segs.append(ds)
+    assert len(segs) == 4
+    full = run_simulation(P, sampling_freq=10 * 14400.0, key=5)
+    got = np.concatenate([s["q"].values for s in segs])
+    np.testing.assert_array_equal(got, full["q"].values)
+    # running diagnostics of the final segment match the full run
+    np.testing.assert_allclose(segs[-1]["KEspec"].values,
+                               full["KEspec"].values, rtol=1e-12)
+
+
+def test_laplace_closure_dissipates():
+    from pyqg_generative_tpu.models.physical import Laplace
+    q, p = _spun_q()
+    flds = core.fields(core.init_state(jnp.asarray(q), p).qh, p)
+    m = Laplace(nu=100.0, PV=True)
+    f = np.asarray(m.forcing_from_fields(flds, p))
+    # nu * lap(q): enstrophy tendency sum(q * f) < 0
+    assert (q * f).sum() < 0
+    m2 = Laplace(nu=100.0, PV=False)
+    f2 = np.asarray(m2.forcing_from_fields(flds, p))
+    assert np.isfinite(f2).all()
+    assert not np.allclose(f, f2, atol=0)
+
+
+def test_outliers_kmeans():
+    x = np.concatenate([np.random.default_rng(0).normal(0, 0.1, 50),
+                        [5.0, 5.2]])
+    mask = outliers(x)
+    assert mask.sum() == 2
+    assert mask[-2:].all()
+
+
+def test_spectrum_check_parseval(rng):
+    da = xr.DataArray(rng.standard_normal((1, 30, 2, 16, 16)),
+                      dims=("run", "time", "lev", "y", "x"))
+    sp = spectrum(time=slice(None, None))
+    out = sp(da)
+    assert sp.check_parseval(out, da) < 0.05
+
+
+def test_forecast_pipeline_stage(tmp_path):
+    from pyqg_generative_tpu.exp.pipeline import run_forecasting
+    # build an IC file from a short run
+    ic = run_simulation(P, sampling_freq=10 * 14400.0, with_diags=False)
+    ic_path = str(tmp_path / "ic0.npz")
+    ic.to_npz(ic_path)
+    run_forecasting(str(tmp_path), None, ic_path, nx=32, n_ic=1, n_ens=2,
+                    decorrelations=(0,), days=2.0)
+    out = xr.Dataset.from_npz(
+        str(tmp_path / "forecast" / "decorrelation-0h" / "0.npz"))
+    assert "q" in out and "q_mean" in out
+    assert out["q"].shape == out["q_mean"].shape
+    assert np.isfinite(out["q_mean"].values).all()
