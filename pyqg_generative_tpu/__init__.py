@@ -10,3 +10,13 @@ fused XLA programs with `vmap`ed ensembles and mesh-sharded sweeps.
 """
 
 __version__ = "0.1.0"
+
+from . import qg, utils  # lightweight; heavier subpackages import lazily
+
+
+def __getattr__(name):
+    # lazy subpackage imports keep `import pyqg_generative_tpu` cheap
+    import importlib
+    if name in ("ml", "models", "sim", "eval", "parallel", "exp"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

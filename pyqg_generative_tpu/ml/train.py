@@ -147,6 +147,56 @@ def fit(loss_fn: Callable, state: TrainingState, tx,
     return state, log
 
 
+def fit_streaming(loss_fn: Callable, state: TrainingState, tx,
+                  loader, fields: tuple, num_epochs: int,
+                  key: jax.Array | None = None,
+                  log_dict: dict | None = None, verbose: bool = True):
+    """Training loop fed by a host-side (native C++) FastLoader: the loader's
+    worker threads assemble the next shuffled batches while the device runs
+    the current update, so host IO overlaps device compute. For datasets that
+    do not fit in HBM (device-resident `fit` is preferred otherwise).
+
+    loader: utils.native.FastLoader; fields: names of the store fields that
+    form the loss_fn batch tuple, in order.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    log = log_dict if log_dict is not None else {}
+
+    @jax.jit
+    def update(state, batch, k):
+        def lfn(params):
+            return loss_fn(params, state.batch_stats, k, batch, True)
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            lfn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainingState(params=params, batch_stats=new_bs,
+                             opt_state=opt_state, step=state.step + 1), metrics
+
+    import time as _time
+    t_start = _time.time()
+    for epoch in range(num_epochs):
+        t_e = _time.time()
+        sums, count = {}, 0
+        for batch in loader.epoch(seed=epoch):
+            key, sub = jax.random.split(key)
+            arrays = tuple(jnp.asarray(batch[f]) for f in fields)
+            state, metrics = update(state, arrays, sub)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        for k, v in sums.items():
+            log.setdefault(k, []).append(v / max(count, 1))
+        if verbose:
+            t = _time.time()
+            eta = (t - t_start) * (num_epochs / (epoch + 1) - 1)
+            print(f"[{epoch + 1}/{num_epochs}] [{t - t_e:.2f}/{eta:.2f}] "
+                  + " ".join(f"{k}: {v[-1]:.4g}" for k, v in log.items()
+                             if "loss" in k))
+    return state, log
+
+
 def log_to_dataset(log: Mapping[str, list]) -> xr.Dataset:
     """Per-epoch loss series -> Dataset with an `epoch` coordinate
     (reference tools/cnn_tools.py:12-19)."""
