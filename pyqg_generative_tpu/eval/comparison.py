@@ -15,7 +15,6 @@ coarse-grained high-resolution reference (reference tools/comparison_tools.py).
 """
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np

@@ -18,8 +18,6 @@ import argparse
 import json
 import os
 
-import numpy as np
-
 from ..models import MODEL_REGISTRY, load_model
 from ..qg.params import ANDREW_1000_STEPS, DAY, EDDY_PARAMS, JET_PARAMS, QGParams
 from ..sim import generate_subgrid_forcing, run_ensemble, run_simulation

@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
-
 from ..eval.comparison import (coarsegrain_reference_dataset,
                                diagnostic_differences)
 from ..models import MODEL_REGISTRY, load_model

@@ -19,7 +19,6 @@ Recipe (kept from the reference, re-implemented as one jitted scan per epoch):
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -2,16 +2,11 @@
 regression training, weight persistence."""
 from __future__ import annotations
 
-import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ml import train as T
-from ..utils import xrlite as xr
-
 __all__ = ["bn_apply", "mse_loss_fn", "train_regression", "nhwc_from_lev",
            "lev_from_nhwc"]
 

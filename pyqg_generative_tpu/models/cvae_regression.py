@@ -19,10 +19,8 @@ import optax
 from ..ml.nets import AndrewCNN
 from ..ml.scalers import ChannelwiseScaler
 from ..ml.train import apply_in_batches, epoch_permutation
-from ..utils import xrlite as xr
-from .base import (Parameterization, extract, array_to_dataset,
-                   prepare_PV_data, register_model, save_model_args,
-                   save_variables, load_variables)
+from .base import (Parameterization, prepare_PV_data, register_model,
+                   save_model_args, save_variables, load_variables)
 from .cgan_regression import evaluate_prediction, loss_to_dataset
 from .common import bn_apply, nhwc_from_lev, lev_from_nhwc, train_regression
 

@@ -7,17 +7,14 @@ family.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ml.nets import AndrewCNN
 from ..ml.scalers import ChannelwiseScaler
 from ..ml.train import apply_in_batches, log_to_dataset
 from ..utils import xrlite as xr
-from . import base
 from .base import (Parameterization, extract, array_to_dataset,
                    prepare_PV_data, register_model, save_model_args,
                    save_variables, load_variables)

@@ -21,7 +21,6 @@ Public surface mirrors the reference CLI driver:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Mapping, Sequence
 
 import jax
