@@ -279,6 +279,37 @@ class Upsampling(nn.Module):
         return x
 
 
+def fold_batchnorm(variables: dict, eps: float = 1e-5) -> dict:
+    """Fold eval-mode BatchNorms of an AndrewCNN into the *following* conv.
+
+    The stack is conv_i -> relu -> bn_i -> conv_{i+1}; in eval mode
+    bn_i(z) = a ⊙ z + b with a = γ/sqrt(σ²+eps), b = β − μ a. Because b is
+    spatially constant and the padding is circular,
+        conv_{i+1}(a ⊙ z + b) = conv'_{i+1}(z)
+    exactly, with the kernel scaled per input channel by a and the bias
+    shifted by Σ_{kh,kw,cin} W[..., cin, :] b[cin]. Returns params for the
+    same architecture with `batch_norm=False` — identical outputs, 7 fewer
+    full-activation memory passes per call on the online hot path.
+    """
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    n_bn = len([k for k in params if k.startswith("BatchNorm")])
+    out = {}
+    for i in range(n_bn + 1):
+        conv = dict(params[f"Conv_{i}"])
+        if i > 0:
+            bn_p = params[f"BatchNorm_{i - 1}"]
+            bn_s = stats[f"BatchNorm_{i - 1}"]
+            a = bn_p["scale"] / np.sqrt(bn_s["var"] + eps)
+            b = bn_p["bias"] - bn_s["mean"] * a
+            kernel = conv["kernel"] * a[None, None, :, None]
+            bias = conv.get("bias", 0.0) + np.einsum(
+                "hwio,i->o", conv["kernel"], b)
+            conv = {"kernel": kernel, "bias": bias.astype(kernel.dtype)}
+        out[f"Conv_{i}"] = conv
+    return {"params": out, "batch_stats": {}}
+
+
 def count_params(variables) -> int:
     return sum(int(np.prod(np.asarray(p.shape)))
                for p in jax.tree_util.tree_leaves(variables))

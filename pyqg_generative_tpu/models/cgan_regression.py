@@ -61,9 +61,13 @@ class CGANRegression(Parameterization):
         if generator == "Andrew":
             self.G = AndrewCNN(n_out=2, div=div,
                                hidden_channels=self.hidden_channels)
+            # online path: BatchNorms folded into the convs (ml.nets.fold_
+            # batchnorm) -> batch_norm=False module, optionally bf16
             self.G_online = AndrewCNN(n_out=2, div=div,
                                       hidden_channels=self.hidden_channels,
+                                      batch_norm=False,
                                       dtype=self._infer_dtype)
+            self._fold_cache = None
         elif generator == "DeepInversion":
             self.G = DeepInversionGenerator(n_out=2)
             self.G_online = DeepInversionGenerator(n_out=2,
@@ -155,10 +159,23 @@ class CGANRegression(Parameterization):
                              self.vars_mean["batch_stats"], x, False)[0]
         return y
 
+    def _online_vars(self):
+        """Variables for the online generator (BN-folded for AndrewCNN)."""
+        if self.generator != "Andrew" or not self.vars_G["batch_stats"]:
+            return self.vars_G
+        if self._fold_cache is None or \
+                self._fold_cache[0] is not self.vars_G:
+            from ..ml.nets import fold_batchnorm
+            self._fold_cache = (self.vars_G, fold_batchnorm(self.vars_G))
+        return self._fold_cache[1]
+
     def predict_snapshot(self, q, noise):
         x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
-        y, _ = bn_apply(self.G_online, self.vars_G["params"],
-                        self.vars_G["batch_stats"],
+        ov = self._online_vars()
+        # folded vars pair with the bn-less G_online module; otherwise use
+        # the training module (DeepInversion keeps its norms)
+        net = self.G_online if ov is not self.vars_G else self.G
+        y, _ = bn_apply(net, ov["params"], ov["batch_stats"],
                         jnp.concatenate([x, noise[None]], axis=-1), False)
         y = y.astype(jnp.float32)
         if self.regression != "None":

@@ -108,6 +108,26 @@ def test_ann_scale_invariance(key):
                                rtol=1e-4)
 
 
+def test_fold_batchnorm_exact(key):
+    """BN-folded conv stack reproduces the eval-mode BN network exactly."""
+    net = nets.AndrewCNN(n_out=2, hidden_channels=(8, 8))
+    x = jax.random.normal(key, (3, 16, 16, 4))
+    variables = net.init(key, x, train=True)
+    # make running stats non-trivial
+    _, upd = net.apply(variables, x * 2.0 + 1.0, train=True,
+                       mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+    y_bn = net.apply(variables, x, train=False)
+
+    folded = nets.fold_batchnorm(variables)
+    net_nobn = nets.AndrewCNN(n_out=2, hidden_channels=(8, 8),
+                              batch_norm=False)
+    y_folded = net_nobn.apply({"params": folded["params"]}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_bn),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_training_reduces_mse(key):
     """The generic trainer fits a trivial linear map with the AndrewCNN."""
     import optax
