@@ -80,6 +80,7 @@ class ANNModel(Parameterization):
         self.net = ANN(n_out=1, hidden_channels=self.hidden_channels,
                        degree=2 if scale_invariant else None)
         self.variables = None
+        self._jit_cache = {}
         if read:
             self.load_model(folder)
 
@@ -144,7 +145,10 @@ class ANNModel(Parameterization):
                 var = var.expand_dims(d)
         v = var.transpose("run", "time", "lev", "y", "x")
         flat = v.values.reshape(-1, v.shape[-2], v.shape[-1]).astype("float32")
-        fn = jax.jit(self._field_apply)
+        ck = id(self.variables)
+        if ck not in self._jit_cache:
+            self._jit_cache[ck] = jax.jit(self._field_apply)
+        fn = self._jit_cache[ck]
         Y = apply_in_batches(lambda x: fn(jnp.asarray(x)), flat,
                              batch_size=256)
         da = xr.DataArray(Y.reshape(v.shape), dims=v.dims)

@@ -81,6 +81,7 @@ class CGANRegression(Parameterization):
         self.vars_G = None
         self.vars_D = None
         self.vars_mean = None
+        self._jit_cache = {}
         self.load_model(folder)
 
     # --------------------------------------------------------------- fitting
@@ -197,16 +198,28 @@ class CGANRegression(Parameterization):
         y = total / M * jnp.asarray(self.y_scale.std)
         return lev_from_nhwc(y).astype(q.dtype)
 
+    def _generate_with(self, variables, x, z):
+        """Generation with weights passed as arguments (not trace constants)
+        so the jitted sampling program survives weight updates."""
+        y, _ = bn_apply(self.G, variables["G"]["params"],
+                        variables["G"]["batch_stats"],
+                        jnp.concatenate([x, z], axis=-1), False)
+        if self.regression != "None":
+            y = y + bn_apply(self.net_mean, variables["mean"]["params"],
+                             variables["mean"]["batch_stats"], x, False)[0]
+        return y
+
     def _mean_var_program(self, M: int):
-        """(x, key) -> (sample, mean, var) over M generator draws, as a
-        scanned on-device program (replaces the reference's python loop over
-        M forwards, models/cgan_regression.py:139-145)."""
-        def fn(x, key):
+        """(variables, x, key) -> (sample, mean, var) over M generator draws,
+        as a scanned on-device program (replaces the reference's python loop
+        over M forwards, models/cgan_regression.py:139-145)."""
+        def fn(variables, x, key):
             zshape = x.shape[:-1] + (self.n_latent,)
 
             def body(carry, k):
                 s, ss, first, is_first = carry
-                y = self.generate(x, jax.random.normal(k, zshape))
+                y = self._generate_with(variables, x,
+                                        jax.random.normal(k, zshape))
                 first = jnp.where(is_first, y, first)
                 return (s + y, ss + y * y, first, jnp.zeros_like(is_first)), None
 
@@ -219,13 +232,28 @@ class CGANRegression(Parameterization):
             return first, mean, var
         return fn
 
+    def _jitted(self, name, builder, *key_extra):
+        """Per-instance jit cache; weights are call arguments, so the cache
+        key is only the program shape (M, ...). The per-epoch offline eval
+        therefore compiles once, not once per epoch."""
+        key = (name, *key_extra)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(builder())
+        return self._jit_cache[key]
+
+    def _predict_variables(self):
+        return {"G": self.vars_G,
+                "mean": self.vars_mean if self.regression != "None"
+                else {"params": {}, "batch_stats": {}}}
+
     def predict(self, ds, M: int = 1000, key: int = 0) -> xr.Dataset:
         X = self.x_scale.normalize(extract(ds, "q"))
-        fn = jax.jit(self._mean_var_program(M))
+        fn = self._jitted("mean_var", lambda: self._mean_var_program(M), M)
         keys = iter(jax.random.split(jax.random.PRNGKey(key), 10 ** 6))
+        variables = self._predict_variables()
 
         def run(x):
-            return fn(jnp.asarray(x), next(keys))
+            return fn(variables, jnp.asarray(x), next(keys))
 
         Y, mean, var = apply_in_batches(run, X, batch_size=64)
         return xr.Dataset({

@@ -50,6 +50,7 @@ class CVAEBottleneck(CVAERegression):
         self.vars_dec = None
         self.vars_deep = None
         self.vars_mean = None
+        self._jit_cache = {}
         self.load_model(folder)
 
     # ------------------------------------------------ training plumbing
@@ -120,12 +121,28 @@ class CVAEBottleneck(CVAERegression):
         y = self.generate(x, noise) * jnp.asarray(self.y_scale.std)
         return lev_from_nhwc(y).astype(q.dtype)
 
+    def _generate_with(self, variables, x, z):
+        zimg = bn_apply(self.deep_decoder, variables["deep"]["params"],
+                        variables["deep"]["batch_stats"], z, False)[0]
+        y = bn_apply(self.decoder, variables["G"]["params"],
+                     variables["G"]["batch_stats"],
+                     jnp.concatenate([x, zimg], axis=-1), False)[0]
+        if self.regression != "None":
+            y = y + bn_apply(self.net_mean, variables["mean"]["params"],
+                             variables["mean"]["batch_stats"], x, False)[0]
+        return y
+
+    def _predict_variables(self):
+        return {"G": self.vars_dec, "deep": self.vars_deep,
+                "mean": self.vars_mean if self.regression != "None"
+                else {"params": {}, "batch_stats": {}}}
+
     def _mean_var_program(self, M: int):
-        def fn(x, key):
+        def fn(variables, x, key):
             def body(carry, k):
                 s, ss, first, is_first = carry
                 z = jax.random.normal(k, (x.shape[0], self.deep_latent))
-                y = self.generate(x, z)
+                y = self._generate_with(variables, x, z)
                 first = jnp.where(is_first, y, first)
                 return (s + y, ss + y * y, first,
                         jnp.zeros_like(is_first)), None

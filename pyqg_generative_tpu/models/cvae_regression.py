@@ -47,6 +47,7 @@ class CVAERegression(Parameterization):
         self.vars_enc = None
         self.vars_dec = None
         self.vars_mean = None
+        self._jit_cache = {}
         self.load_model(folder)
 
     # --------------------------------------------------------------- fitting
@@ -169,6 +170,26 @@ class CVAERegression(Parameterization):
     def _mean_var_program(self, M: int):
         from .cgan_regression import CGANRegression
         return CGANRegression._mean_var_program(self, M)
+
+    def _jitted(self, name, builder, *key_extra):
+        key = (name, *key_extra)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(builder())
+        return self._jit_cache[key]
+
+    def _generate_with(self, variables, x, z):
+        y = bn_apply(self.decoder, variables["G"]["params"],
+                     variables["G"]["batch_stats"],
+                     jnp.concatenate([x, z], axis=-1), False)[0]
+        if self.regression != "None":
+            y = y + bn_apply(self.net_mean, variables["mean"]["params"],
+                             variables["mean"]["batch_stats"], x, False)[0]
+        return y
+
+    def _predict_variables(self):
+        return {"G": self.vars_dec,
+                "mean": self.vars_mean if self.regression != "None"
+                else {"params": {}, "batch_stats": {}}}
 
     def predict(self, ds, M: int = 1000, key: int = 0):
         from .cgan_regression import CGANRegression

@@ -33,6 +33,7 @@ class MeanVarModel(Parameterization):
         self.net_var = VarCNN(2, hidden_channels=self.hidden_channels)
         self.vars_mean = None
         self.vars_var = None
+        self._jit_cache = {}
         self.load_model(folder)
 
     def fit(self, ds_train, ds_test, num_epochs: int = 50,
@@ -114,8 +115,11 @@ class MeanVarModel(Parameterization):
 
     def predict(self, ds, M: int = 1000) -> xr.Dataset:
         X = self.x_scale.normalize(extract(ds, "q"))
-        fm = jax.jit(self._apply_mean)
-        fv = jax.jit(self._apply_var)
+        ck = (id(self.vars_mean), id(self.vars_var))
+        if ck not in self._jit_cache:
+            self._jit_cache[ck] = (jax.jit(self._apply_mean),
+                                   jax.jit(self._apply_var))
+        fm, fv = self._jit_cache[ck]
         mean = self.y_scale.denormalize(
             apply_in_batches(lambda x: fm(jnp.asarray(x)), X))
         var = self.y_scale.denormalize_var(

@@ -37,6 +37,7 @@ class OLSModel(Parameterization):
                              bias=bias, final_activation=final_activation,
                              hidden_channels=self.hidden_channels)
         self.variables = None
+        self._jit_cache = {}
         self.load_model(folder)
 
     # ------------------------------------------------------------- training
@@ -90,7 +91,10 @@ class OLSModel(Parameterization):
 
     def predict(self, ds, M: int = 1000) -> xr.Dataset:
         X = self.x_scale.normalize(extract(ds, "q"))
-        fn = jax.jit(self._apply)
+        ck = id(self.variables)
+        if ck not in self._jit_cache:
+            self._jit_cache[ck] = jax.jit(self._apply)
+        fn = self._jit_cache[ck]
         Y = self.y_scale.denormalize(
             apply_in_batches(lambda x: fn(jnp.asarray(x)), X))
         da = array_to_dataset(ds, Y, "q_forcing_advection")

@@ -61,7 +61,7 @@ def test_gan_mean_var_consistency(tmp_path, ds_pair):
         ds_test["q"].values[0, :2].reshape(2, 2, NX, NX), 1, -1))
     fn = jax.jit(m._mean_var_program(16))
     key = jax.random.PRNGKey(3)
-    first, mean, var = fn(jnp.asarray(X), key)
+    first, mean, var = fn(m._predict_variables(), jnp.asarray(X), key)
     # reproduce with the same keys explicitly
     keys = jax.random.split(key, 16)
     ys = np.stack([np.asarray(m.generate(
