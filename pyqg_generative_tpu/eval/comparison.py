@@ -182,9 +182,8 @@ def coarsegrain_reference_dataset(ds: xr.Dataset, resolution: int,
     for var in ("q", "u", "v", "psi"):
         da = ds[var]
         out = np.asarray(operator_fn(jnp.asarray(da.values), resolution))
-        dsf[var] = xr.DataArray(out.astype("float32"),
-                                da.dims, {"time": da.coords.get("time")}
-                                if "time" in da.coords else None)
+        coords = {"time": da.coords["time"]} if "time" in da.coords else None
+        dsf[var] = xr.DataArray(out.astype("float32"), da.dims, coords)
 
     n = resolution // 2
     gc = make_grid(resolution)
