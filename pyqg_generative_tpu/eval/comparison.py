@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from scipy.stats import wasserstein_distance
 
@@ -176,12 +178,13 @@ def coarsegrain_reference_dataset(ds: xr.Dataset, resolution: int,
     spectra are truncated to the coarse wavenumber box and multiplied by the
     squared filter transmission (reference comparison_tools.py:53-114)."""
     operator_fn = op.OPERATORS[operator]
-    import jax.numpy as jnp
-
+    # jitted: the operators are spectral and complex ops must not run
+    # eagerly on the TPU runtime
+    apply_op = jax.jit(lambda arr: operator_fn(arr, resolution))
     dsf = xr.Dataset(attrs=dict(ds.attrs))
     for var in ("q", "u", "v", "psi"):
         da = ds[var]
-        out = np.asarray(operator_fn(jnp.asarray(da.values), resolution))
+        out = np.asarray(apply_op(jnp.asarray(da.values)))
         coords = {"time": da.coords["time"]} if "time" in da.coords else None
         dsf[var] = xr.DataArray(out.astype("float32"), da.dims, coords)
 

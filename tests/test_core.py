@@ -196,6 +196,30 @@ def test_spinup_is_stable_and_energizes():
     assert 1e-8 < float(np.asarray(flds.q).std()) < 1e-3
 
 
+@pytest.mark.slow
+def test_eddy_climatology_golden():
+    """Statistically steady eddy climatology at 64^2 stays inside the
+    envelope anchored by the published training-data checksum
+    (std(q) ~ 5.7e-6 s^-1; docs/VALIDATION.md)."""
+    from pyqg_generative_tpu.qg.params import EDDY_PARAMS, YEAR
+
+    p = EDDY_PARAMS.replace(tmax=6 * YEAR, tavestart=3 * YEAR,
+                            precision="double")
+    from pyqg_generative_tpu.sim import run_simulation
+    ds = run_simulation(p, sampling_freq=30 * p.dt)
+    q = ds["q"].values
+    late = q[q.shape[0] // 2:]
+    assert 3e-6 < late.std() < 9e-6
+    u = ds["u"].values[q.shape[0] // 2:]
+    v = ds["v"].values[q.shape[0] // 2:]
+    ke = 0.5 * (u ** 2 + v ** 2).mean()
+    assert 1e-4 < ke < 1e-2
+    # spectrum decays into the filter range
+    from pyqg_generative_tpu.qg.spectral import calc_ispec
+    k, sp = calc_ispec(64, ds["KEspec"].values[0])
+    assert sp.max() / max(sp[-1], 1e-300) > 1e6
+
+
 def test_forcing_hook_changes_trajectory(rng):
     p = P64
     st = random_state(rng, p)
