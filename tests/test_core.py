@@ -220,6 +220,25 @@ def test_eddy_climatology_golden():
     assert sp.max() / max(sp[-1], 1e-300) > 1e6
 
 
+@pytest.mark.slow
+def test_jet_configuration_stable():
+    """JET_PARAMS (rek=7e-8, delta=0.1, beta=1e-11) integrates stably and
+    produces a distinct climatology from the eddy configuration."""
+    from pyqg_generative_tpu.qg.params import JET_PARAMS, YEAR
+    from pyqg_generative_tpu.sim import run_simulation
+
+    p = JET_PARAMS.replace(nx=48, dt=14400.0, tmax=6 * YEAR,
+                           tavestart=3 * YEAR, precision="double")
+    ds = run_simulation(p, sampling_freq=30 * p.dt)
+    q = ds["q"].values
+    assert np.isfinite(q).all()
+    late = q[q.shape[0] // 2:]
+    assert 1e-7 < late.std() < 1e-3
+    # zonal-mean structure: jets show stronger zonal anisotropy than eddies
+    u = ds["u"].values[-1, 0]
+    assert np.abs(u.mean(axis=-1)).max() > 0  # nontrivial zonal-mean flow
+
+
 def test_forcing_hook_changes_trajectory(rng):
     p = P64
     st = random_state(rng, p)
