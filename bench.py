@@ -29,6 +29,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    sys.path.insert(0, "/root/repo")
+    from pyqg_generative_tpu.utils.cache import configure_compilation_cache
+    configure_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

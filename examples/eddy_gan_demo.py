@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from pyqg_generative_tpu.utils.cache import configure_compilation_cache
+
+configure_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -7,6 +7,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from pyqg_generative_tpu.utils.cache import configure_compilation_cache
+
+configure_compilation_cache()
+
 from pyqg_generative_tpu.eval.comparison import (diagnostic_differences,
                                                  distrib_score)
 from pyqg_generative_tpu.models import OLSModel, load_model

@@ -213,6 +213,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_metrics)
 
     args = ap.parse_args(argv)
+    from ..utils.cache import configure_compilation_cache
+    configure_compilation_cache()
     args.fn(args)
 
 
