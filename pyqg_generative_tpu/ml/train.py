@@ -88,11 +88,11 @@ def fit(loss_fn: Callable, state: TrainingState, tx,
     log = log_dict if log_dict is not None else {}
 
     @jax.jit
-    def train_epoch(state, perm, key):
+    def train_epoch(state, perm, key, *arrays):
         def body(carry, idx):
             st, k = carry
             k, sub = jax.random.split(k)
-            batch = tuple(a[idx] for a in train_arrays)
+            batch = tuple(a[idx] for a in arrays)
 
             def lfn(params):
                 return loss_fn(params, st.batch_stats, sub, batch, True)
@@ -109,10 +109,10 @@ def fit(loss_fn: Callable, state: TrainingState, tx,
         return state, {k: v.mean() for k, v in metrics.items()}
 
     @jax.jit
-    def eval_epoch(state, perm, key):
+    def eval_epoch(state, perm, key, *arrays):
         def body(k, idx):
             k, sub = jax.random.split(k)
-            batch = tuple(a[idx] for a in test_arrays)
+            batch = tuple(a[idx] for a in arrays)
             _, (metrics, _) = loss_fn(state.params, state.batch_stats, sub,
                                       batch, False)
             return k, metrics
@@ -126,12 +126,13 @@ def fit(loss_fn: Callable, state: TrainingState, tx,
         t_e = time.time()
         perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
         key, k1, k2 = jax.random.split(key, 3)
-        state, train_metrics = train_epoch(state, perm, k1)
+        state, train_metrics = train_epoch(state, perm, k1,
+                                           *train_arrays)
         metrics = {k: float(v) for k, v in train_metrics.items()}
         if n_test:
             perm_t = jnp.asarray(epoch_permutation(
                 rng, n_test, min(batch_size, n_test)))
-            test_metrics = eval_epoch(state, perm_t, k2)
+            test_metrics = eval_epoch(state, perm_t, k2, *test_arrays)
             metrics.update({f"{k}_test": float(v)
                             for k, v in test_metrics.items()})
         if epoch_hook is not None:

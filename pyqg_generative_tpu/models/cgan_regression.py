@@ -462,7 +462,9 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
 
     batch_step = make_gan_batch_step(net, txG, txD)
 
-    def train_epoch(carry, perm, ekey):
+    def train_epoch(carry, perm, ekey, Xd, Yd, Md):
+        # data enters as arguments (not trace constants): keeps the compiled
+        # program small and independent of the dataset size
         def body(c, inp):
             idx, i = inp
             kb = jax.random.fold_in(ekey, i)
@@ -483,7 +485,7 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
         t_e = _time.time()
         perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
         jkey, ekey = jax.random.split(jkey)
-        carry, metrics = train_epoch_j(carry, perm, ekey)
+        carry, metrics = train_epoch_j(carry, perm, ekey, Xd, Yd, Md)
         pG, bsG, oG, pD, oD = carry
         net.vars_G = {"params": pG, "batch_stats": bsG}
         net.vars_D = {"params": pD, "batch_stats": net.vars_D["batch_stats"]}

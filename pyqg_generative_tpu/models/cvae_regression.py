@@ -253,7 +253,7 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
                    "var_aggr": mu.var() + var.mean()}
         return loss, (metrics, bstats)
 
-    def train_epoch(carry, perm, ekey):
+    def train_epoch(carry, perm, ekey, Xd, Yd, Md):
         def body(c, inp):
             params, bstats, opt_state = c
             idx, i = inp
@@ -279,7 +279,7 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
         t_e = _time.time()
         perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
         jkey, ekey = jax.random.split(jkey)
-        carry, metrics = train_epoch_j(carry, perm, ekey)
+        carry, metrics = train_epoch_j(carry, perm, ekey, Xd, Yd, Md)
         params, bstats, opt_state = carry
         net._set_vae_variables(params, bstats)
         row = {k: float(v) for k, v in metrics.items()}
