@@ -77,6 +77,31 @@ def test_shard_params_tp_specs():
     assert sh["odd"]["kernel"].spec == P()
 
 
+def test_tp_sharded_conv_matches_replicated():
+    """Tensor-parallel (output-channel sharded) conv application equals the
+    replicated computation."""
+    from pyqg_generative_tpu.ml import nets
+
+    net = nets.AndrewCNN(n_out=2, hidden_channels=(16, 16),
+                         batch_norm=False)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 2))
+    variables = net.init(key, x, train=True)
+
+    def f(params, x):
+        return net.apply({"params": params}, x, train=False)
+
+    y_ref = jax.jit(f)(variables["params"], x)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    sh = shard_params_tp(variables["params"], mesh, "tp")
+    params_tp = jax.device_put(variables["params"], sh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    y_tp = jax.jit(f)(params_tp, x_sh)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_graft_entry_and_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")
