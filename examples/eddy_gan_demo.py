@@ -92,7 +92,7 @@ def main():
     log(f"training data: {nrun} runs x {data['q'].shape[1]} snapshots")
 
     # ---- stage 4: train the GAN --------------------------------------------
-    model_dir = os.path.join(args.workdir, "gan_model")
+    model_dir = os.path.join(args.workdir, f"gan_model_{args.nx}")
     model = CGANRegression(nx=args.nx, folder=model_dir)
     if model.vars_G is None:
         log(f"stage 4: GAN training, {args.epochs} epochs")
