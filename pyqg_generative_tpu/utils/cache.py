@@ -14,6 +14,14 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
 def configure_compilation_cache(path: str | None = None) -> str:
     import jax
     path = path or os.environ.get("PYQG_TPU_CACHE", _DEFAULT)
+    # per-platform subdirectory: CPU AOT artifacts compiled by the remote
+    # compile service can carry host-feature mismatches (SIGILL risk) if
+    # shared with local CPU runs
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    path = os.path.join(path, platform)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
