@@ -310,6 +310,42 @@ def fold_batchnorm(variables: dict, eps: float = 1e-5) -> dict:
     return {"params": out, "batch_stats": {}}
 
 
+def circular_conv_rollmm(x, w, bias=None):
+    """Circular conv as a sum of kh*kw rolled matmuls:
+        y[b,h,w,:] = sum_{dy,dx} x_rolled[b,h,w,:] @ w[dy,dx]
+    Mathematically identical to a CIRCULAR-padded conv; on TPU at this
+    framework's shapes (tiny spatial dims, narrow channels) the explicit
+    matmul formulation feeds the MXU directly and can beat the generic conv
+    lowering. Exactness is tested against lax.conv."""
+    kh, kw = w.shape[0], w.shape[1]
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            xs = jnp.roll(x, (kh // 2 - dy, kw // 2 - dx), axis=(-3, -2))
+            t = jnp.einsum("...c,cd->...d", xs, w[dy, dx],
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    if bias is not None:
+        acc = acc + bias
+    return acc
+
+
+def apply_folded_cnn_rollmm(folded_params: dict, x, n_layers: int | None = None):
+    """Apply a BN-folded AndrewCNN (conv->relu stack, bias on every layer)
+    with the roll-matmul circular conv. Matches
+    AndrewCNN(batch_norm=False).apply on the folded params exactly."""
+    keys = sorted((k for k in folded_params if k.startswith("Conv_")),
+                  key=lambda s: int(s.split("_")[1]))
+    if n_layers is not None:
+        keys = keys[:n_layers]
+    for i, k in enumerate(keys):
+        p = folded_params[k]
+        x = circular_conv_rollmm(x, p["kernel"], p.get("bias"))
+        if i < len(keys) - 1:
+            x = nn.relu(x)
+    return x
+
+
 def count_params(variables) -> int:
     return sum(int(np.prod(np.asarray(p.shape)))
                for p in jax.tree_util.tree_leaves(variables))

@@ -128,6 +128,34 @@ def test_fold_batchnorm_exact(key):
                                rtol=2e-4, atol=1e-6)
 
 
+def test_rollmm_conv_matches_xla(key):
+    """Roll-matmul circular conv equals the flax CIRCULAR conv exactly."""
+    from pyqg_generative_tpu.ml.nets import (apply_folded_cnn_rollmm,
+                                             circular_conv_rollmm,
+                                             fold_batchnorm)
+    import flax.linen as nn_
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    conv = nn_.Conv(8, (5, 5), padding="CIRCULAR")
+    v = conv.init(key, x)
+    y_ref = conv.apply(v, x)
+    y = circular_conv_rollmm(x, v["params"]["kernel"], v["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # full folded AndrewCNN equivalence
+    net = nets.AndrewCNN(n_out=2, hidden_channels=(8, 8))
+    variables = net.init(key, x, train=True)
+    _, upd = net.apply(variables, x * 1.5, train=True,
+                       mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+    folded = fold_batchnorm(variables)
+    y_bn = net.apply(variables, x, train=False)
+    y_mm = apply_folded_cnn_rollmm(folded["params"], x)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_bn),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_training_reduces_mse(key):
     """The generic trainer fits a trivial linear map with the AndrewCNN."""
     import optax
