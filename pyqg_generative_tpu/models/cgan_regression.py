@@ -171,17 +171,14 @@ class CGANRegression(Parameterization):
         return self._fold_cache[1]
 
     def predict_snapshot(self, q, noise):
-        from ..ml.nets import apply_folded_cnn_rollmm
         x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
         ov = self._online_vars()
         xin = jnp.concatenate([x, noise[None]], axis=-1)
-        if ov is not self.vars_G and not self.div:
-            # folded BN-less stack via roll-matmul circular convs (exact;
-            # measured faster than the generic conv lowering at these shapes)
-            y = apply_folded_cnn_rollmm(ov["params"], xin)
-        else:
-            net = self.G_online if ov is not self.vars_G else self.G
-            y, _ = bn_apply(net, ov["params"], ov["batch_stats"], xin, False)
+        # folded vars pair with the bn-less G_online module. (A roll-matmul
+        # conv path exists in ml.nets but measured slower inside the fused
+        # step, where XLA's conv lowering is already near-optimal.)
+        net = self.G_online if ov is not self.vars_G else self.G
+        y, _ = bn_apply(net, ov["params"], ov["batch_stats"], xin, False)
         y = y.astype(jnp.float32)
         if self.regression != "None":
             y = y + bn_apply(self.net_mean, self.vars_mean["params"],
