@@ -57,14 +57,20 @@ def main():
                     for j in range(args.members)])
     keys = jax.random.split(jax.random.PRNGKey(0), args.members)
 
+    def run_once():
+        snaps, diags = program(q0, keys)
+        # force a real device->host synchronization (block_until_ready is
+        # not a reliable barrier on every runtime): fetch a scalar that
+        # depends on the final snapshots
+        return float(jnp.sum(snaps["q"][:, -1]))
+
     # compile + warmup (excluded from timing)
-    out = program(q0, keys)
-    jax.block_until_ready(out)
+    run_once()
 
     t0 = time.perf_counter()
-    out = program(q0, keys)
-    jax.block_until_ready(out)
+    checksum = run_once()
     dt_wall = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     member_steps_per_s = args.members * total_steps / dt_wall
     sim_years_per_day = (member_steps_per_s * p.dt) / (360 * 86400) * 86400
