@@ -75,7 +75,14 @@ def cmd_forcing(args):
 
 def cmd_parameterized(args):
     p = params_from_args(args)
-    model = load_model(args.model_folder)
+    if args.closure:
+        # folderless closure by registry name (reference's
+        # `--parameterization ClassName` / --molecular_viscosity branches,
+        # tools/simulate.py:206-244, without eval())
+        kw = json.loads(args.closure_args) if args.closure_args else {}
+        model = MODEL_REGISTRY[args.closure](**kw)
+    else:
+        model = load_model(args.model_folder)
     if args.model_weight != 1.0:
         model = _weighted(model, args.model_weight)
     parameterization = {"self": model, "sampling": args.sampling,
@@ -176,6 +183,11 @@ def main(argv=None):
     s = sub.add_parser("parameterized")
     add_common(s)
     s.add_argument("--model-folder", type=str, default="model")
+    s.add_argument("--closure", type=str, default="",
+                   help="registry class name for a folderless closure "
+                        "(e.g. Laplace, ZannaBolton2020, ADM)")
+    s.add_argument("--closure-args", type=str, default="",
+                   help="JSON ctor kwargs for --closure")
     s.add_argument("--sampling", type=str, default="AR1")
     s.add_argument("--nsteps", type=int, default=1)
     s.add_argument("--model-weight", type=float, default=1.0)

@@ -90,6 +90,24 @@ def test_cli_reference_and_metrics(tmp_path):
     assert np.isfinite(list(v for k, v in out.items() if k != "key")).all()
 
 
+def test_cli_folderless_closure(tmp_path):
+    """Physical closures by registry name, incl. the molecular-viscosity
+    Laplace branch (reference tools/simulate.py:206-236)."""
+    from pyqg_generative_tpu.exp.cli import main
+    out = str(tmp_path / "lap")
+    main(["parameterized", "--nx", "16",
+          "--params", json.dumps({"dt": DT, "tmax": 10 * DT,
+                                  "tavestart": 0.0, "precision": "double"}),
+          "--sampling-freq", str(5 * DT),
+          "--closure", "Laplace",
+          "--closure-args", json.dumps({"nu": 50.0, "PV": True}),
+          "--sampling", "deterministic",
+          "--subfolder", out])
+    ds = xr.Dataset.from_npz(os.path.join(out, "0.npz"))
+    assert np.isfinite(ds["q"].values).all()
+    assert "paramspec" in ds
+
+
 def test_cli_train_and_parameterized(tmp_path):
     from pyqg_generative_tpu.exp.cli import main
     # forcing data via CLI
