@@ -140,6 +140,22 @@ class CGANRegression(Parameterization):
             return True
         return False
 
+    def use_optimal_epoch(self) -> bool:
+        """Switch the generator to the best-offline-loss epoch weights
+        (G_opt.msgpack) if they were saved during training."""
+        path = f"{self.folder}/G_opt.msgpack"
+        if not os.path.exists(path):
+            return False
+        key = jax.random.PRNGKey(0)
+        tG = self.G.init(key, jnp.zeros((1, self.nx, self.nx,
+                                         2 + self.n_latent)), train=True)
+        template = {"params": tG["params"],
+                    "batch_stats": tG.get("batch_stats", {})}
+        self.vars_G = load_variables(template, path)
+        if hasattr(self, "_fold_cache"):
+            self._fold_cache = None
+        return True
+
     # ------------------------------------------------------------- inference
     def latent_shape(self, ny, nx):
         return (ny, nx, self.n_latent)
@@ -481,6 +497,7 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
     log: dict = {}
     carry = (net.vars_G["params"], net.vars_G["batch_stats"], optG,
              net.vars_D["params"], optD)
+    best = {"loss": float("inf"), "vars_G": None, "epoch": 0}
     t_s = _time.time()
     for epoch in range(num_epochs):
         t_e = _time.time()
@@ -496,6 +513,15 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
                 net, ds_train, nruns, key=epoch).items()})
             row.update({f"{k}_test": v for k, v in evaluate_prediction(
                 net, ds_test, nruns, key=epoch).items()})
+            # optimal-epoch tracking with retained weights: the reference
+            # logs Epoch_opt but keeps last-epoch weights
+            # (cgan_regression.py:236-245); online quality scatters strongly
+            # across epochs, so the best-offline-loss generator is kept too
+            opt_loss = row.get("L2_total_test", np.inf) + \
+                row.get("L2_residual_test", np.inf)
+            if opt_loss < best["loss"]:
+                best.update(loss=opt_loss, epoch=epoch + 1,
+                            vars_G=jax.device_get(net.vars_G))
         for k, v in row.items():
             log.setdefault(k, []).append(v)
         if verbose:
@@ -505,4 +531,8 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
                   f"D_loss: {row['D_loss']:.3f} G_loss: {row['G_loss']:.3f}"
                   + (f" L2_total: {row.get('L2_total_test', float('nan')):.3f}"
                      if nruns else ""))
+    if best["vars_G"] is not None:
+        from .base import save_variables as _save
+        os.makedirs(net.folder, exist_ok=True)
+        _save(best["vars_G"], f"{net.folder}/G_opt.msgpack")
     return log
