@@ -119,6 +119,30 @@ def test_vae_loss_decreases(tmp_path, ds_pair):
     assert log["MSE"][-1] < log["MSE"][0]
 
 
+def test_gan_optimal_epoch_retention(tmp_path, ds_pair):
+    """Training with per-epoch eval saves G_opt.msgpack; use_optimal_epoch
+    switches the generator to those weights."""
+    import os
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "gan_opt")
+    m = CGANRegression(nx=NX, folder=folder, **SMALL)
+    m.fit(ds_train, ds_test, num_epochs=3, batch_size=16, nruns=1,
+          verbose=False)
+    assert os.path.exists(os.path.join(folder, "G_opt.msgpack"))
+    last = jax.tree_util.tree_map(np.asarray, m.vars_G["params"])
+    assert m.use_optimal_epoch()
+    opt = jax.tree_util.tree_map(np.asarray, m.vars_G["params"])
+    # weights loaded successfully (structure identical; values may differ)
+    for a, b in zip(jax.tree_util.tree_leaves(last),
+                    jax.tree_util.tree_leaves(opt)):
+        assert a.shape == b.shape
+    # prediction still works with the optimal weights
+    q = jnp.asarray(ds_test["q"].values[0, 0])
+    z = m.generate_latent_noise(jax.random.PRNGKey(0), NX, NX)
+    f = np.asarray(m.predict_snapshot(q, z))
+    assert np.isfinite(f).all()
+
+
 def test_gan_online_coupling(tmp_path, ds_pair):
     """GAN closure runs inside the fused solver step."""
     from pyqg_generative_tpu.qg.params import QGParams
