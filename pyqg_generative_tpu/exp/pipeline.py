@@ -119,29 +119,53 @@ def run_parameterized(base: str, model_folder: str,
     return ds
 
 
+def forecast_initial_conditions(reference_glob: str, nx: int,
+                                operator: str, n_ic: int = 15):
+    """The reference's forecast IC recipe
+    (scripts/run_forecasting.py:52-56): IC number j < 10 takes the *last*
+    snapshot of 256^2 reference run j; j >= 10 takes snapshot -30 of run
+    j-10; each coarse-grained to the forecast resolution with the training
+    operator. Yields (number, q_init) with q_init of shape (lev, nx, nx)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from ..qg.operators import OPERATORS
+    op = OPERATORS[operator]
+    files = sorted(_glob.glob(reference_glob))
+    for number in range(n_ic):
+        run, tsel = (number, -1) if number < 10 else (number - 10, -30)
+        if run >= len(files):
+            continue
+        ic = xr.Dataset.from_npz(files[run])
+        q = ic["q"].isel(time=tsel).values
+        if q.ndim == 4:  # (run, lev, y, x) member file saved with run dim
+            q = q[0]
+        yield number, np.asarray(op(q, nx))
+
+
 def run_forecasting(base: str, model_folder: str | None,
                     ic_glob: str, configuration: str = "eddy",
                     nx: int = 64, n_ic: int = 15, n_ens: int = 15,
                     decorrelations=(0, 12, 24, 36, 48), days: float = 90.0,
-                    sampling: str = "AR1",
+                    sampling: str = "AR1", operator: str = "Operator2",
                     subfolder: str = "forecast"):
     """Ensemble forecasts: n_ic initial conditions x n_ens members x
-    noise-decorrelation times, saving member-0 and the ensemble mean
+    noise-decorrelation times, saving member-0, the ensemble mean, and the
+    ensemble std of (q, u, v, psi) at daily resolution
     (reference scripts/run_forecasting.py:8-62 + tools/simulate.py:254-293).
-    `decorrelations` are in hours; 0 means white noise (nsteps=1)."""
+    `ic_glob` points at 256^2 reference runs; each IC is coarse-grained to
+    `nx` with `operator` as the reference does. `decorrelations` are in
+    hours; 0 means white noise (nsteps=1). The std field feeds
+    eval.forecast.spread_skill_dataset."""
     from ..qg.params import DAY
     p0 = CONFIGURATIONS[configuration].with_nx(nx)
     p = p0.replace(tmax=days * DAY, tavestart=days * DAY)
     model = load_model(model_folder) if model_folder else None
-    import glob as _glob
-    ic_files = sorted(_glob.glob(ic_glob))[:n_ic]
+    ics = list(forecast_initial_conditions(ic_glob, nx, operator, n_ic))
     for dec in decorrelations:
         nsteps = max(1, int(round(dec * 3600.0 / p.dt)))
-        for number, path in enumerate(ic_files):
-            ic = xr.Dataset.from_npz(path)
-            q_init = ic["q"].isel(time=-1).values
-            if "run" in ic["q"].dims:
-                q_init = q_init[0]
+        for number, q_init in ics:
             param = None if model is None else \
                 {"self": model, "sampling": sampling, "nsteps": nsteps}
             ds = run_ensemble(p, param, n_ens=n_ens, q_init=q_init,
@@ -151,6 +175,7 @@ def run_forecasting(base: str, model_folder: str | None,
             for var in ("q", "u", "v", "psi"):
                 out[var] = ds[var].isel(run=0)
                 out[var + "_mean"] = ds[var].mean("run")
+                out[var + "_std"] = ds[var].std("run")
             folder = os.path.join(base, subfolder, f"decorrelation-{dec}h")
             os.makedirs(folder, exist_ok=True)
             out.to_npz(os.path.join(folder, f"{number}.npz"))

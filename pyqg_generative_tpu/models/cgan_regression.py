@@ -88,7 +88,8 @@ class CGANRegression(Parameterization):
     def fit(self, ds_train, ds_test, num_epochs: int = 200,
             num_epochs_regression: int = 50, batch_size: int = 64,
             learning_rate: float = 2e-4, nruns: int = 5,
-            verbose: bool = True, key: int = 0):
+            verbose: bool = True, key: int = 0,
+            checkpoint_every: int = 25):
         X_train, Y_train, X_test, Y_test, self.x_scale, self.y_scale = \
             prepare_PV_data(ds_train, ds_test)
 
@@ -99,7 +100,8 @@ class CGANRegression(Parameterization):
 
         log = train_CGAN(self, ds_train, ds_test, X_train, Y_train,
                          num_epochs, batch_size, learning_rate, nruns,
-                         verbose=verbose, key=key)
+                         verbose=verbose, key=key,
+                         checkpoint_every=checkpoint_every)
         self.save_model(log)
 
     def save_model(self, log=None):
@@ -439,7 +441,8 @@ def make_gan_batch_step(net: CGANRegression, txG, txD):
 
 def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
                num_epochs: int, batch_size: int, learning_rate: float,
-               nruns=5, verbose=True, key: int = 0):
+               nruns=5, verbose=True, key: int = 0,
+               checkpoint_every: int = 25):
     rng = np.random.default_rng(key)
     jkey = jax.random.PRNGKey(key)
     n = len(X_train)
@@ -498,8 +501,26 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
     carry = (net.vars_G["params"], net.vars_G["batch_stats"], optG,
              net.vars_D["params"], optD)
     best = {"loss": float("inf"), "vars_G": None, "epoch": 0}
+
+    from ..ml.train import TrainCheckpointer
+    ckpt = TrainCheckpointer(net.folder, checkpoint_every,
+                             name="gan_train_ckpt")
+    epoch0 = 0
+    best_template = jax.device_get(net.vars_G)
+    resumed = ckpt.restore((carry, best_template))
+    if resumed is not None:
+        epoch0, (carry, best_vars), log, rng, jkey, extra = resumed
+        if extra.get("best_epoch", 0) > 0:
+            best = {"loss": extra["best_loss"], "vars_G": best_vars,
+                    "epoch": extra["best_epoch"]}
+        net.vars_G = {"params": carry[0], "batch_stats": carry[1]}
+        net.vars_D = {"params": carry[3],
+                      "batch_stats": net.vars_D["batch_stats"]}
+        if verbose:
+            print(f"resuming GAN training from epoch {epoch0}")
+
     t_s = _time.time()
-    for epoch in range(num_epochs):
+    for epoch in range(epoch0, num_epochs):
         t_e = _time.time()
         perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
         jkey, ekey = jax.random.split(jkey)
@@ -524,6 +545,13 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
                             vars_G=jax.device_get(net.vars_G))
         for k, v in row.items():
             log.setdefault(k, []).append(v)
+        ckpt.maybe_save(
+            epoch + 1,
+            (carry, best["vars_G"] if best["vars_G"] is not None
+             else best_template),
+            log, rng, jkey,
+            extra={"best_loss": best["loss"] if best["epoch"] else 0.0,
+                   "best_epoch": best["epoch"]})
         if verbose:
             t = _time.time()
             eta = (t - t_s) * (num_epochs / (epoch + 1) - 1)
@@ -531,6 +559,7 @@ def train_CGAN(net: CGANRegression, ds_train, ds_test, X_train, Y_train,
                   f"D_loss: {row['D_loss']:.3f} G_loss: {row['G_loss']:.3f}"
                   + (f" L2_total: {row.get('L2_total_test', float('nan')):.3f}"
                      if nruns else ""))
+    ckpt.clear()
     if best["vars_G"] is not None:
         from .base import save_variables as _save
         os.makedirs(net.folder, exist_ok=True)

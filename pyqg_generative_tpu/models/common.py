@@ -42,8 +42,11 @@ def mse_loss_fn(net):
 
 def train_regression(net, X_train, Y_train, X_test, Y_test,
                      num_epochs: int, batch_size: int, learning_rate: float,
-                     rng=None, key=None, verbose=True, log_dict=None):
-    """Generic MSE regression training (reference tools/cnn_tools.py:645-700)."""
+                     rng=None, key=None, verbose=True, log_dict=None,
+                     checkpoint_dir=None, checkpoint_every: int = 25):
+    """Generic MSE regression training (reference tools/cnn_tools.py:645-700).
+    If checkpoint_dir is given, training state is checkpointed mid-run and
+    resumed bit-for-bit on restart (ml.train.TrainCheckpointer)."""
     rng = rng or np.random.default_rng(0)
     key = key if key is not None else jax.random.PRNGKey(0)
     steps = int(np.ceil(len(X_train) / batch_size))
@@ -53,5 +56,7 @@ def train_regression(net, X_train, Y_train, X_test, Y_test,
     test = (jnp.asarray(X_test), jnp.asarray(Y_test))
     state, log = T.fit(mse_loss_fn(net), state, tx, arrays, test,
                        num_epochs, batch_size, rng=rng, key=key,
-                       verbose=verbose, log_dict=log_dict)
+                       verbose=verbose, log_dict=log_dict,
+                       checkpoint_dir=checkpoint_dir,
+                       checkpoint_every=checkpoint_every)
     return {"params": state.params, "batch_stats": state.batch_stats}, log

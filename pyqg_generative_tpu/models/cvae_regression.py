@@ -54,7 +54,8 @@ class CVAERegression(Parameterization):
     def fit(self, ds_train, ds_test, num_epochs: int = 200,
             num_epochs_regression: int = 50, batch_size: int = 64,
             learning_rate: float = 2e-4, nruns: int = 5,
-            verbose: bool = True, key: int = 0):
+            verbose: bool = True, key: int = 0,
+            checkpoint_every: int = 25):
         X_train, Y_train, X_test, Y_test, self.x_scale, self.y_scale = \
             prepare_PV_data(ds_train, ds_test)
         if self.regression != "None":
@@ -63,7 +64,8 @@ class CVAERegression(Parameterization):
                 num_epochs_regression, batch_size, 1e-3, verbose=verbose)
         log = train_CVAE(self, ds_train, ds_test, X_train, Y_train,
                          num_epochs, batch_size, learning_rate, nruns,
-                         verbose=verbose, key=key)
+                         verbose=verbose, key=key,
+                         checkpoint_every=checkpoint_every)
         self.save_model(log)
 
     def save_model(self, log=None):
@@ -201,7 +203,8 @@ class CVAERegression(Parameterization):
 
 def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
                num_epochs: int, batch_size: int, learning_rate: float,
-               nruns=5, verbose=True, key: int = 0):
+               nruns=5, verbose=True, key: int = 0,
+               checkpoint_every: int = 25):
     rng = np.random.default_rng(key)
     jkey = jax.random.PRNGKey(key)
     n = len(X_train)
@@ -274,8 +277,20 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
     import time as _time
     log: dict = {}
     carry = (params, bstats, opt_state)
+
+    from ..ml.train import TrainCheckpointer
+    ckpt = TrainCheckpointer(net.folder, checkpoint_every,
+                             name="vae_train_ckpt")
+    epoch0 = 0
+    resumed = ckpt.restore(carry)
+    if resumed is not None:
+        epoch0, carry, log, rng, jkey, _ = resumed
+        net._set_vae_variables(carry[0], carry[1])
+        if verbose:
+            print(f"resuming VAE training from epoch {epoch0}")
+
     t_s = _time.time()
-    for epoch in range(num_epochs):
+    for epoch in range(epoch0, num_epochs):
         t_e = _time.time()
         perm = jnp.asarray(epoch_permutation(rng, n, batch_size))
         jkey, ekey = jax.random.split(jkey)
@@ -289,9 +304,11 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
                 net, ds_test, nruns, key=epoch).items()})
         for k, v in row.items():
             log.setdefault(k, []).append(v)
+        ckpt.maybe_save(epoch + 1, carry, log, rng, jkey)
         if verbose:
             t = _time.time()
             eta = (t - t_s) * (num_epochs / (epoch + 1) - 1)
             print(f"[{epoch + 1}/{num_epochs}] [{t - t_e:.2f}/{eta:.2f}] "
                   f"MSE: {row['MSE']:.4g} KL: {row['loss_KL']:.4g}")
+    ckpt.clear()
     return log

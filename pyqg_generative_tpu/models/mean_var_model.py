@@ -44,7 +44,8 @@ class MeanVarModel(Parameterization):
 
         self.vars_mean, log_mean = train_regression(
             self.net_mean, X_train, Y_train, X_test, Y_test,
-            num_epochs, batch_size, learning_rate, verbose=verbose)
+            num_epochs, batch_size, learning_rate, verbose=verbose,
+            checkpoint_dir=os.path.join(self.folder, "ckpt_mean"))
 
         # second stage: variance net on squared residuals
         # (reference models/mean_var_model.py:55-64)
@@ -57,7 +58,8 @@ class MeanVarModel(Parameterization):
         rsq_test = (Y_test - Yhat_test) ** 2
         self.vars_var, log_var = train_regression(
             self.net_var, X_train, rsq_train, X_test, rsq_test,
-            num_epochs, batch_size, learning_rate, verbose=verbose)
+            num_epochs, batch_size, learning_rate, verbose=verbose,
+            checkpoint_dir=os.path.join(self.folder, "ckpt_var"))
         self.save_model(log_mean, log_var)
 
     def save_model(self, log_mean=None, log_var=None):

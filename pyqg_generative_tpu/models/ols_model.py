@@ -48,7 +48,8 @@ class OLSModel(Parameterization):
             prepare_PV_data(ds_train, ds_test)
         self.variables, log = train_regression(
             self.net, X_train, Y_train, X_test, Y_test,
-            num_epochs, batch_size, learning_rate, verbose=verbose)
+            num_epochs, batch_size, learning_rate, verbose=verbose,
+            checkpoint_dir=os.path.join(self.folder, "ckpt"))
         self.save_model(log)
 
     def save_model(self, log=None):
