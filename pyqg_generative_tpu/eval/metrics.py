@@ -30,18 +30,31 @@ def PDF_histogram(x: np.ndarray, xmin=None, xmax=None, Nbins: int = 30):
     return points, density
 
 
+def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """num/den with 0/0 -> 0 and x/0 -> inf-free large value, so degenerate
+    layers (zero-variance truth, e.g. deterministic closures or constant
+    fields in tests) don't emit RuntimeWarnings or NaNs."""
+    num = np.asarray(num, dtype=np.float64)
+    den = np.asarray(den, dtype=np.float64)
+    out = np.zeros_like(num)
+    ok = den != 0
+    np.divide(num, den, out=out, where=ok)
+    out[~ok & (num != 0)] = np.finfo(np.float64).max
+    return out
+
+
 def _per_layer_R2(x: xr.DataArray, x_true: xr.DataArray) -> float:
     dims = tuple(d for d in x.dims if d != "lev")
     mse = ((x - x_true) ** 2).mean(dims)
     var = x_true.var(dims)
-    return float(np.mean(1.0 - mse.values / var.values))
+    return float(np.mean(1.0 - _safe_div(mse.values, var.values)))
 
 
 def _per_layer_L2(x: xr.DataArray, x_true: xr.DataArray) -> float:
     dims = tuple(d for d in x.dims if d != "lev")
     num = ((x - x_true) ** 2).mean(dims)
     den = (x_true ** 2).mean(dims)
-    return float(np.mean(np.sqrt(num.values / den.values)))
+    return float(np.mean(np.sqrt(_safe_div(num.values, den.values))))
 
 
 def subgrid_scores(true: xr.DataArray, mean: xr.DataArray,
@@ -72,6 +85,7 @@ def subgrid_scores(true: xr.DataArray, mean: xr.DataArray,
     true_res = true - mean
     dims = tuple(d for d in mean.dims if d != "lev")
     ds["var_ratio"] = xr.DataArray(
-        (gen_res ** 2).mean(dims).values / (true_res ** 2).mean(dims).values,
+        _safe_div((gen_res ** 2).mean(dims).values,
+                  (true_res ** 2).mean(dims).values),
         dims=("lev",))
     return ds

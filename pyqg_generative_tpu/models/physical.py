@@ -256,8 +256,14 @@ class ReynoldsStress(PhysicalParameterization):
     """Scale-similarity (Bardina) Reynolds-stress closure: the subgrid
     momentum flux is estimated from the resolved flow with a Gaussian test
     filter G,  tau_ij = G(u_i u_j) - G(u_i) G(u_j),  the forcing is
-    -div(tau), curl-converted to PV (re-derivation of the reference's
-    `pyqg.parameterizations.Reynolds_stress` baseline family)."""
+    -div(tau), curl-converted to PV.
+
+    Provenance: the reference names `pyqg.parameterizations.Reynolds_stress`
+    (models/physical_parameterizations.py:33-34), a closure that exists only
+    in the authors' pyqg fork, unavailable in this environment (no pyqg,
+    zero egress). This is the standard scale-similarity form of that family;
+    its amplitude on an equilibrated snapshot is pinned by
+    tests/test_physical_regression.py (8.3e-13 s^-2 at 48^2)."""
 
     def __init__(self, folder: str = "model", **kw):
         self.folder = folder
@@ -286,8 +292,15 @@ class HybridSymbolic(PhysicalParameterization):
         S = kappa * dx^2 * lap( adv(q, u, v) )
     with kappa < 0 acting as a scale-selective dissipation of the advective
     tendency; the dx^2 factor makes kappa resolution-independent.
-    Re-derivation (approximate) of the reference's
-    `pyqg.parameterizations.HybridSymbolic` baseline."""
+
+    Provenance: the reference names `pyqg.parameterizations.HybridSymbolic`
+    (models/physical_parameterizations.py:36-37) whose source (and the fitted
+    per-layer coefficients of Ross et al. 2023) is not available in this
+    build environment (no pyqg, zero egress). This implements the closure's
+    published *leading discovered term* with a documented kappa; its forcing
+    amplitude on an equilibrated snapshot is pinned by
+    tests/test_physical_regression.py (2.67e-12 s^-2 at 48^2, same order as
+    the true subgrid forcing ~5e-12)."""
 
     def __init__(self, kappa: float = -0.05, folder: str = "model", **kw):
         self.kappa = kappa

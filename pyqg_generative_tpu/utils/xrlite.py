@@ -118,6 +118,33 @@ class DataArray:
                 coords[d] = self.coords[d]
         return DataArray(out, tuple(new_dims), coords, self.attrs)
 
+    def sel(self, indexers: Mapping[str, object] | None = None,
+            method: str | None = None, **kw) -> "DataArray":
+        """Coordinate-value based selection (xarray .sel subset).
+
+        Scalars and slices are supported. Exact match by default;
+        method='nearest' picks the closest coordinate value. Slices select
+        the inclusive coordinate range (like xarray label slicing)."""
+        idx = dict(indexers or {})
+        idx.update(kw)
+        iidx = {}
+        for d, sel in idx.items():
+            if d not in self.coords:
+                raise KeyError(f"no coordinate for dim {d!r}")
+            c = self.coords[d]
+            if isinstance(sel, slice):
+                lo = -np.inf if sel.start is None else sel.start
+                hi = np.inf if sel.stop is None else sel.stop
+                iidx[d] = np.nonzero((c >= lo) & (c <= hi))[0]
+            else:
+                pos = int(np.argmin(np.abs(c - sel)))
+                if method != "nearest" and not np.isclose(c[pos], sel):
+                    raise KeyError(
+                        f"value {sel!r} not found in coordinate {d!r} "
+                        f"(pass method='nearest')")
+                iidx[d] = pos
+        return self.isel(iidx)
+
     def expand_dims(self, dim: str, axis: int = 0) -> "DataArray":
         if dim in self.dims:
             return self
@@ -317,6 +344,18 @@ class Dataset:
         for k, v in self._vars.items():
             sub = {d: s for d, s in idx.items() if d in v.dims}
             out[k] = v.isel(**sub) if sub else v
+        return Dataset(out, self.attrs)
+
+    def sel(self, indexers=None, method: str | None = None,
+            **kw) -> "Dataset":
+        """Coordinate-value based selection over all variables (see
+        DataArray.sel)."""
+        idx = dict(indexers or {})
+        idx.update(kw)
+        out = {}
+        for k, v in self._vars.items():
+            sub = {d: s for d, s in idx.items() if d in v.dims}
+            out[k] = v.sel(sub, method=method) if sub else v
         return Dataset(out, self.attrs)
 
     def sizes(self):

@@ -64,3 +64,52 @@ def test_open_mfdataset(tmp_path, rng):
     out = xr.open_mfdataset(str(tmp_path / "*.npz"), "run")
     assert out["q"].shape == (3, 2, 4, 4)
     np.testing.assert_array_equal(out["q"].values[:, 0, 0, 0], [0, 1, 2])
+
+
+def test_sel_scalar_and_slice():
+    import numpy as np
+    from pyqg_generative_tpu.utils import xrlite as xr
+    t = np.array([0.0, 1.0, 2.0, 3.0])
+    da = xr.DataArray(np.arange(8.0).reshape(4, 2), ("time", "lev"),
+                      coords={"time": t}, attrs={"units": "s"})
+    # exact scalar
+    s = da.sel(time=2.0)
+    assert s.dims == ("lev",)
+    assert np.allclose(s.values, [4.0, 5.0])
+    # nearest
+    s = da.sel(time=2.2, method="nearest")
+    assert np.allclose(s.values, [4.0, 5.0])
+    # inclusive label slice
+    s = da.sel(time=slice(1.0, 2.5))
+    assert s.shape == (2, 2)
+    assert np.allclose(s.coords["time"], [1.0, 2.0])
+    # attrs survive
+    assert s.attrs["units"] == "s"
+    # missing exact value raises
+    import pytest
+    with pytest.raises(KeyError):
+        da.sel(time=2.2)
+
+
+def test_dataset_sel():
+    import numpy as np
+    from pyqg_generative_tpu.utils import xrlite as xr
+    t = np.array([0.0, 10.0, 20.0])
+    ds = xr.Dataset({
+        "a": xr.DataArray(np.arange(3.0), ("time",), coords={"time": t}),
+        "b": xr.DataArray(np.ones(5), ("x",)),
+    }, attrs={"cfg": "eddy"})
+    out = ds.sel(time=10.0)
+    assert out["a"].values == 1.0
+    assert out["b"].shape == (5,)   # untouched var passes through
+    assert out.attrs["cfg"] == "eddy"
+
+
+def test_attrs_propagate_through_arithmetic():
+    import numpy as np
+    from pyqg_generative_tpu.utils import xrlite as xr
+    da = xr.DataArray(np.arange(4.0), ("x",), attrs={"units": "m"})
+    assert (da * 2).attrs["units"] == "m"
+    assert (da + da).attrs["units"] == "m"
+    assert da.mean("x").attrs["units"] == "m"
+    assert da.isel(x=slice(0, 2)).attrs["units"] == "m"
