@@ -1,0 +1,280 @@
+"""Fused Pallas TPU kernel for the online AndrewCNN forward pass.
+
+The online hot path evaluates the (BatchNorm-folded) 8-layer circular CNN
+once per solver step per ensemble member (reference hot loop
+tools/simulate.py:137 + models/parameterization.py:23-34 — there a host/GPU
+round-trip per step; here one VMEM-resident kernel inside the fused step).
+
+Design (per ensemble member = one pallas program; `jax.vmap` over members
+turns into the pallas grid):
+
+* the whole 8-layer chain runs in one kernel — activations never leave VMEM
+  (the XLA conv path round-trips each layer through HBM at these tiny
+  spatial sizes);
+* circular shifts commute with channelwise contractions, so each conv is
+  computed as ONE MXU-friendly matmul per kernel row with all K shifts
+  packed into the output columns,
+      Y_dy = X @ W[dy]            with W[dy] of shape (Cin, K*Cout),
+  followed by K cheap VPU shifted accumulations
+      out += roll2d(Y_dy[:, dx-block], (dy, dx));
+  this keeps the contraction dim (Cin) and the result width (K*Cout) large
+  instead of issuing K^2 narrow matmuls, and rolls the *smaller* side
+  (outputs, or inputs for the 4-channel first layer via im2col);
+* 2-D circular shifts on the flattened (H*W, C) activation are two flat
+  sublane rolls + a column-mask select (`_flat_roll2d`) — Mosaic's
+  dynamic_rotate handles 32-bit data only, so activations stay float32 and
+  are cast to `compute_dtype` (bfloat16 by default: 4x MXU throughput) only
+  at matmul inputs; accumulation is float32 (`preferred_element_type`).
+
+Exactness vs the XLA/flax path is enforced by tests/test_pallas_conv.py
+(f32 kernel: ~1e-4; bf16 kernel: statistical tolerance).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pack_folded_params", "fused_cnn_forward", "make_online_cnn"]
+
+
+def pack_folded_params(folded: dict, compute_dtype=jnp.bfloat16):
+    """Flatten BN-folded AndrewCNN params ({'params': {'Conv_i': {kernel
+    (K,K,Cin,Cout), bias (Cout,)}}}) into the kernel operand list: per layer
+    a (K*K*Cin, Cout) weight in compute_dtype (sublane-sliced per tap inside
+    the kernel) and a (1, Cout) float32 bias. Returns (weights, biases,
+    meta) with meta = ((K, cin, cout), ...)."""
+    params = folded["params"]
+    n = len([k for k in params if k.startswith("Conv_")])
+    weights, biases, meta = [], [], []
+    for i in range(n):
+        k = np.asarray(params[f"Conv_{i}"]["kernel"])
+        b = np.asarray(params[f"Conv_{i}"].get("bias",
+                                               np.zeros(k.shape[-1])))
+        K, K2, cin, cout = k.shape
+        assert K == K2, "square kernels only"
+        weights.append(jnp.asarray(k.reshape(K * K * cin, cout),
+                                   compute_dtype))
+        biases.append(jnp.asarray(b.reshape(1, cout), jnp.float32))
+        meta.append((K, cin, cout))
+    return weights, biases, tuple(meta)
+
+
+def _flat_roll2d(y, a, b, H, W):
+    """z[h, w] = y[(h - a) % H, (w - b) % W] on the (H*W, C)-flattened field.
+
+    One flat sublane roll covers the row shift plus the naive column shift;
+    the |b| columns that wrapped into the adjacent row are patched from a
+    second roll offset by one row (static shifts -> cheap tpu.rotate)."""
+    M = H * W
+    b = b % W
+    r = (a * W + b) % M
+    z0 = pltpu.roll(y, r, axis=0) if r else y
+    if b == 0:
+        return z0
+    z1 = pltpu.roll(y, (r - W) % M, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) % W
+    return jnp.where(col < b, z1, z0)
+
+
+def _conv_out(act, w, K, cin, cout, H, W, cdtype, col):
+    """Roll-output path: per kernel tap s, one full-width matmul
+    y_s = X @ W_s (sublane-aligned weight slice, no lane slicing), then a
+    shifted accumulation of y_s. `col` is the hoisted (H*W, cout) column
+    index used by the wrap fix."""
+    c = K // 2
+    xb = act.astype(cdtype)
+    acc = jnp.zeros((H * W, cout), jnp.float32)
+    s = 0
+    M = H * W
+    for dy in range(-c, K - c):
+        for dx in range(-c, K - c):
+            y_s = jax.lax.dot_general(
+                xb, w[s * cin:(s + 1) * cin, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s += 1
+            # acc[h, w] += y_s[h + dy, w + dx] circularly, i.e. the shift
+            # (a, b) = (-dy, -dx) in z[h, w] = y[h - a, w - b]
+            b = (-dx) % W
+            r = ((-dy) * W + b) % M
+            z0 = pltpu.roll(y_s, r, axis=0) if r else y_s
+            if b == 0:
+                acc = acc + z0
+            else:
+                z1 = pltpu.roll(y_s, (r - W) % M, axis=0)
+                acc = acc + jnp.where(col < b, z1, z0)
+    return acc
+
+
+def _make_kernel(meta, H, W, compute_dtype, final_relu):
+    n = len(meta)
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n]
+        b_refs = refs[n:2 * n]
+        out_ref = refs[2 * n]
+        act = x_ref[:].reshape(H * W, meta[0][1]).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (H * W, 128), 0) % W
+        for i, (K, cin, cout) in enumerate(meta):
+            act = _conv_out(act, w_refs[i][:], K, cin, cout, H, W,
+                            compute_dtype, col[:, :cout])
+            act = act + b_refs[i][:]
+            if i < n - 1 or final_relu:
+                act = jnp.maximum(act, 0.0)
+        out_ref[:] = act.reshape(H, W, meta[-1][2]).astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "compute_dtype", "interpret",
+                                   "final_relu"))
+def _fused_call(x, weights, biases, meta, compute_dtype, interpret,
+                final_relu=False):
+    H, W = x.shape[0], x.shape[1]
+    n_out = meta[-1][2]
+    kernel = _make_kernel(meta, H, W, compute_dtype, final_relu)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W, n_out), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(meta)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *weights, *biases)
+
+
+def fused_cnn_forward(x, weights, biases, meta,
+                      compute_dtype=jnp.bfloat16, interpret=False):
+    """Run the fused CNN on x of shape (H, W, Cin) (single sample) or
+    (B, H, W, Cin) (vmapped into the pallas grid). Returns float32
+    (..., H, W, n_out)."""
+    dt = jnp.dtype(compute_dtype).name  # hashable static arg
+    if x.ndim == 4:
+        return jax.vmap(
+            lambda xx: _fused_call(xx, weights, biases, meta,
+                                   dt, interpret))(x)
+    return _fused_call(x, weights, biases, meta, dt, interpret)
+
+
+def _make_packed_kernel(meta, H, W, B, compute_dtype):
+    """Member-packed kernel: activations live as (H*W, B*C) with all B
+    ensemble members side by side in the lane dimension, so every VPU op
+    (rolls, selects, adds) runs at full 128-lane width instead of the
+    25-75% padding waste of per-member 32/64-lane arrays. Matmuls stay
+    per-member (weights are shared; member lane-slices of the activation are
+    tile-aligned for the 128-channel layer and cheap lane-rotates
+    otherwise)."""
+    n = len(meta)
+    M = H * W
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n]
+        b_refs = refs[n:2 * n]   # pre-tiled (1, B*cout) biases
+        out_ref = refs[2 * n]
+        act = x_ref[:].astype(jnp.float32)            # (M, B*C0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % W
+        for i, (K, cin, cout) in enumerate(meta):
+            w = w_refs[i][:]
+            xbs = [act[:, j * cin:(j + 1) * cin].astype(compute_dtype)
+                   for j in range(B)]
+            c = K // 2
+            acc = jnp.zeros((M, B * cout), jnp.float32)
+            s = 0
+            for dy in range(-c, K - c):
+                for dx in range(-c, K - c):
+                    w_s = w[s * cin:(s + 1) * cin, :]
+                    s += 1
+                    y_s = jnp.concatenate(
+                        [jax.lax.dot_general(
+                            xb, w_s,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                         for xb in xbs], axis=1)      # (M, B*cout)
+                    b = (-dx) % W
+                    r = ((-dy) * W + b) % M
+                    z0 = pltpu.roll(y_s, r, axis=0) if r else y_s
+                    if b == 0:
+                        acc = acc + z0
+                    else:
+                        z1 = pltpu.roll(y_s, (r - W) % M, axis=0)
+                        acc = acc + jnp.where(col < b, z1, z0)
+            act = acc + b_refs[i][:]
+            if i < n - 1:
+                act = jnp.maximum(act, 0.0)
+        out_ref[:] = act.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "B", "compute_dtype",
+                                   "interpret"))
+def _fused_call_packed(x, weights, biases_packed, meta, B, compute_dtype,
+                       interpret):
+    """x: (H*W, B*C0) member-packed activations."""
+    H = W = int(np.sqrt(x.shape[0]))
+    assert H * W == x.shape[0], "square grids only"
+    n_out = meta[-1][2]
+    kernel = _make_packed_kernel(meta, H, W, B, compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H * W, B * n_out), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(meta)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *weights, *biases_packed)
+
+
+def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
+                    interpret: bool = False):
+    """Build the online forward for a BN-folded AndrewCNN: the 4-channel
+    first layer runs as an XLA circular conv (~5% of the FLOPs; its tiny
+    contraction dim suits neither the MXU slicing nor lane-concat), layers
+    2..n run in the member-packed fused pallas kernel (all batch members in
+    the lane dimension — full VPU width). Returns apply(x) for x of shape
+    (H, W, Cin) or (B, H, W, Cin), producing float32 (..., H, W, n_out).
+    Each distinct batch size compiles its own kernel."""
+    params = folded["params"]
+    k0 = jnp.asarray(np.asarray(params["Conv_0"]["kernel"]), jnp.float32)
+    b0 = jnp.asarray(np.asarray(params["Conv_0"]["bias"]), jnp.float32)
+    K0 = k0.shape[0]
+    rest = {"params": {f"Conv_{i - 1}": params[f"Conv_{i}"]
+                       for i in range(1, len(params))}}
+    weights, biases, meta = pack_folded_params(rest, compute_dtype)
+    dt = jnp.dtype(compute_dtype).name
+    n_out = meta[-1][2]
+
+    def first_layer(xb):
+        pad = K0 // 2
+        xp = jnp.pad(xb, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode="wrap")
+        y = jax.lax.conv_general_dilated(
+            xp, k0, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.maximum(y + b0, 0.0)
+
+    def apply(x):
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        act = first_layer(x.astype(jnp.float32))
+        # (B, H, W, C) -> member-packed (H*W, B*C)
+        packed = act.reshape(B, H * W, -1).transpose(1, 0, 2) \
+            .reshape(H * W, -1)
+        bp = tuple(jnp.tile(b, (1, B)) for b in biases)
+        out = _fused_call_packed(packed, weights, bp, meta, B, dt,
+                                 interpret)
+        out = out.reshape(H * W, B, n_out).transpose(1, 0, 2) \
+            .reshape(B, H, W, n_out)
+        return out[0] if squeeze else out
+
+    return apply

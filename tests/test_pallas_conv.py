@@ -1,0 +1,108 @@
+"""Exactness of the fused Pallas online-CNN kernel vs the flax/XLA path
+(interpret mode on the CPU test mesh; the same code compiles on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyqg_generative_tpu.ml.nets import AndrewCNN, fold_batchnorm
+from pyqg_generative_tpu.ml.pallas_conv import (fused_cnn_forward,
+                                                pack_folded_params)
+
+NX = 16
+HID = (8, 8, 8)
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    net = AndrewCNN(n_out=2, hidden_channels=HID, kernels=(5, 5, 3, 3))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, NX, NX, 4)),
+                 train=True)
+    variables = {"params": v["params"],
+                 "batch_stats": v.get("batch_stats", {})}
+    # make BN stats non-trivial so folding is actually exercised
+    bs = jax.tree_util.tree_map(lambda a: a, variables["batch_stats"])
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * np.abs(np.random.default_rng(0).normal(
+            size=a.shape)).astype(a.dtype), bs)
+    variables["batch_stats"] = bs
+    folded = fold_batchnorm(variables)
+    net_eval = AndrewCNN(n_out=2, hidden_channels=HID, kernels=(5, 5, 3, 3),
+                         batch_norm=False)
+    return net_eval, variables, folded
+
+
+def _xla_forward(net_eval, folded, x):
+    return net_eval.apply({"params": folded["params"], "batch_stats": {}},
+                          x, train=False)
+
+
+def test_fused_kernel_matches_xla_f32(net_and_params):
+    net_eval, _, folded = net_and_params
+    w, b, meta = pack_folded_params(folded, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (NX, NX, 4), jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x[None]))[0]
+    out = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                       compute_dtype=jnp.float32,
+                                       interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5 * np.abs(
+        ref).max())
+
+
+def test_fused_kernel_batched(net_and_params):
+    net_eval, _, folded = net_and_params
+    w, b, meta = pack_folded_params(folded, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, NX, NX, 4), jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x))
+    out = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                       compute_dtype=jnp.float32,
+                                       interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5 * np.abs(
+        ref).max())
+
+
+def test_fused_kernel_bf16_statistical(net_and_params):
+    """bfloat16 matmuls with f32 accumulation: fields agree to bf16
+    precision (relative RMS error < 2%)."""
+    net_eval, _, folded = net_and_params
+    w, b, meta = pack_folded_params(folded, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (NX, NX, 4), jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x[None]))[0]
+    out = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                       compute_dtype=jnp.bfloat16,
+                                       interpret=True))
+    rel = np.sqrt(np.mean((out - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rel < 0.02, rel
+
+
+def test_fold_then_pack_consistency(net_and_params):
+    """Folded XLA path itself matches the BN eval path (guards the whole
+    pallas input contract)."""
+    net_eval, variables, folded = net_and_params
+    net_bn = AndrewCNN(n_out=2, hidden_channels=HID, kernels=(5, 5, 3, 3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, NX, NX, 4), jnp.float32)
+    ref = np.asarray(net_bn.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, x, train=False))
+    out = np.asarray(_xla_forward(net_eval, folded, x))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=1e-5 * np.abs(
+        ref).max())
+
+
+def test_make_online_cnn_packed(net_and_params):
+    """The member-packed production path (XLA layer-1 + packed pallas
+    kernel) matches the flax forward."""
+    from pyqg_generative_tpu.ml.pallas_conv import make_online_cnn
+    net_eval, _, folded = net_and_params
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, NX, NX, 4), jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x))
+    apply = make_online_cnn(folded, compute_dtype=jnp.float32,
+                            interpret=True)
+    out = np.asarray(apply(x))
+    np.testing.assert_allclose(out, ref, rtol=2e-4,
+                               atol=2e-5 * np.abs(ref).max())
+    # single-sample path
+    out1 = np.asarray(apply(x[0]))
+    np.testing.assert_allclose(out1, ref[0], rtol=2e-4,
+                               atol=2e-5 * np.abs(ref).max())
