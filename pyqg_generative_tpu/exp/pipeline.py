@@ -217,6 +217,9 @@ def compute_online_metrics(base: str, model_folder: str, reference_glob: str,
     ref = xr.open_mfdataset(reference_glob, "run")
     target = coarsegrain_reference_dataset(ref, resolution, operator)
     norm, diffs, scales = diagnostic_differences(model_ds, target, T=T)
+    from ..eval.comparison import distrib_score, spectral_score
+    norm["distrib_score"] = distrib_score(norm)
+    norm["spectral_score"] = spectral_score(norm)
     norm["key"] = os.path.basename(model_folder)
     path = os.path.join(model_folder, save_file)
     with open(path, "w") as f:

@@ -181,30 +181,31 @@ def _make_packed_kernel(meta, H, W, B, compute_dtype):
         act = x_ref[:].astype(jnp.float32)            # (M, B*C0)
         col = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % W
         for i, (K, cin, cout) in enumerate(meta):
-            w = w_refs[i][:]
+            w_ref = w_refs[i]
             xbs = [act[:, j * cin:(j + 1) * cin].astype(compute_dtype)
                    for j in range(B)]
             c = K // 2
-            acc = jnp.zeros((M, B * cout), jnp.float32)
-            s = 0
-            for dy in range(-c, K - c):
-                for dx in range(-c, K - c):
-                    w_s = w[s * cin:(s + 1) * cin, :]
-                    s += 1
-                    y_s = jnp.concatenate(
-                        [jax.lax.dot_general(
-                            xb, w_s,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                         for xb in xbs], axis=1)      # (M, B*cout)
-                    b = (-dx) % W
-                    r = ((-dy) * W + b) % M
-                    z0 = pltpu.roll(y_s, r, axis=0) if r else y_s
-                    if b == 0:
-                        acc = acc + z0
-                    else:
-                        z1 = pltpu.roll(y_s, (r - W) % M, axis=0)
-                        acc = acc + jnp.where(col < b, z1, z0)
+
+            # fori over the K*K taps (traced shifts -> dynamic_rotate):
+            # keeps the Mosaic program small enough to compile quickly
+            def tap(s, acc):
+                dy = s // K - c
+                dx = s % K - c
+                w_s = w_ref[pl.ds(s * cin, cin), :]
+                y_s = jnp.concatenate(
+                    [jax.lax.dot_general(
+                        xb, w_s,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     for xb in xbs], axis=1)          # (M, B*cout)
+                b = (-dx) % W
+                r = ((-dy) * W + b) % M
+                z0 = pltpu.roll(y_s, r, axis=0)
+                z1 = pltpu.roll(y_s, (r - W) % M, axis=0)
+                return acc + jnp.where(col < b, z1, z0)
+
+            acc = jax.lax.fori_loop(
+                0, K * K, tap, jnp.zeros((M, B * cout), jnp.float32))
             act = acc + b_refs[i][:]
             if i < n - 1:
                 act = jnp.maximum(act, 0.0)

@@ -45,8 +45,14 @@ class CGANRegression(Parameterization):
                  generator: str = "Andrew", folder: str = "model",
                  div: bool = False,
                  hidden_channels=(128, 64, 32, 32, 32, 32, 32),
-                 inference_dtype: str = "float32"):
+                 inference_dtype: str = "float32",
+                 online_backend: str = "xla"):
         self.folder = folder
+        # 'xla' (default) or 'pallas': the fused VMEM-resident kernel for
+        # the online generator (ml.pallas_conv; exactness-tested, measured
+        # ~1.1x the XLA conv path at 10x64^2 on v5e — see docs/ROADMAP.md)
+        self.online_backend = online_backend
+        self._pallas_cache = None
         self.regression = regression
         self.generator = generator
         self.nx = nx
@@ -192,11 +198,23 @@ class CGANRegression(Parameterization):
         x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
         ov = self._online_vars()
         xin = jnp.concatenate([x, noise[None]], axis=-1)
-        # folded vars pair with the bn-less G_online module. (A roll-matmul
-        # conv path exists in ml.nets but measured slower inside the fused
-        # step, where XLA's conv lowering is already near-optimal.)
-        net = self.G_online if ov is not self.vars_G else self.G
-        y, _ = bn_apply(net, ov["params"], ov["batch_stats"], xin, False)
+        if self.online_backend == "pallas" and self.generator == "Andrew" \
+                and ov is not self.vars_G:
+            if self._pallas_cache is None or \
+                    self._pallas_cache[0] is not ov:
+                from ..ml.pallas_conv import make_online_cnn
+                interp = jax.default_backend() == "cpu"
+                self._pallas_cache = (
+                    ov, make_online_cnn(ov, compute_dtype=self._infer_dtype,
+                                        interpret=interp))
+            y = self._pallas_cache[1](xin)
+        else:
+            # folded vars pair with the bn-less G_online module. (A
+            # roll-matmul conv path exists in ml.nets but measured slower
+            # inside the fused step, where XLA's conv lowering is already
+            # near-optimal.)
+            net = self.G_online if ov is not self.vars_G else self.G
+            y, _ = bn_apply(net, ov["params"], ov["batch_stats"], xin, False)
         y = y.astype(jnp.float32)
         if self.regression != "None":
             y = y + bn_apply(self.net_mean, self.vars_mean["params"],

@@ -85,6 +85,23 @@ class CVAERegression(Parameterization):
             stats.to_npz(f"{self.folder}/stats.npz")
             print("Optimal epoch:", epoch)
 
+    def use_optimal_epoch(self) -> bool:
+        """Switch the decoder to the best-offline-loss epoch weights
+        (decoder_opt.msgpack) if they were saved during training (the
+        reference logs Epoch_opt but keeps last-epoch weights,
+        cvae_regression.py:249-254; retaining both is this framework's
+        realization-selection lever)."""
+        path = f"{self.folder}/decoder_opt.msgpack"
+        if not os.path.exists(path):
+            return False
+        key = jax.random.PRNGKey(0)
+        t = self.decoder.init(key, jnp.zeros((1, 32, 32, 2 + self.n_latent)),
+                              train=True)
+        template = {"params": t["params"],
+                    "batch_stats": t.get("batch_stats", {})}
+        self.vars_dec = load_variables(template, path)
+        return True
+
     def load_model(self, folder):
         if os.path.exists(f"{folder}/decoder.msgpack"):
             key = jax.random.PRNGKey(0)
@@ -289,6 +306,7 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
         if verbose:
             print(f"resuming VAE training from epoch {epoch0}")
 
+    best = {"loss": float("inf"), "vars_dec": None, "epoch": 0}
     t_s = _time.time()
     for epoch in range(epoch0, num_epochs):
         t_e = _time.time()
@@ -302,6 +320,11 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
             row.update(evaluate_prediction(net, ds_train, nruns, key=epoch))
             row.update({f"{k}_test": v for k, v in evaluate_prediction(
                 net, ds_test, nruns, key=epoch).items()})
+            opt_loss = row.get("L2_total_test", np.inf) + \
+                row.get("L2_residual_test", np.inf)
+            if opt_loss < best["loss"]:
+                best.update(loss=opt_loss, epoch=epoch + 1,
+                            vars_dec=jax.device_get(net.vars_dec))
         for k, v in row.items():
             log.setdefault(k, []).append(v)
         ckpt.maybe_save(epoch + 1, carry, log, rng, jkey)
@@ -311,4 +334,8 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
             print(f"[{epoch + 1}/{num_epochs}] [{t - t_e:.2f}/{eta:.2f}] "
                   f"MSE: {row['MSE']:.4g} KL: {row['loss_KL']:.4g}")
     ckpt.clear()
+    if best["vars_dec"] is not None:
+        from .base import save_variables as _save
+        os.makedirs(net.folder, exist_ok=True)
+        _save(best["vars_dec"], f"{net.folder}/decoder_opt.msgpack")
     return log

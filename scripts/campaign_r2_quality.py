@@ -1,0 +1,199 @@
+"""Round-2 quality campaign: the paper's 48^2 eddy experiment at full scale.
+
+Per VERDICT round-1 items 2-4: 300-run training data, 5 realizations per
+closure, optimal-epoch GAN/VAE variants, the published online recipe
+(sampling='constant', nsteps=1 — reference scripts/run_parameterized.py:50),
+noise-decorrelation sweep for the best model, online Wasserstein/spectral
+metrics vs the coarse-grained 256^2 reference.
+
+Restartable: every stage skips existing outputs.
+
+Run:  python scripts/campaign_r2_quality.py [--nx 48] [--operator Operator2]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyqg_generative_tpu.utils.cache import configure_compilation_cache
+
+configure_compilation_cache()
+
+BASE = "/root/repo/data_r2"
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def train_stage(cfg, op, nx, models, realizations, data_cap=300):
+    from pyqg_generative_tpu.models import MODEL_REGISTRY
+    from pyqg_generative_tpu.utils import xrlite as xr
+
+    data = os.path.join(BASE, cfg, f"{op}-{nx}-dealias", "*.npz")
+    ds = xr.open_mfdataset(data, "run")
+    nrun = min(ds["q"].sizes()["run"], data_cap)
+    ds = ds.isel(run=slice(0, nrun))
+    # reference splits: 0-250 train / 250-275 validate / 275-300 test
+    # (tools/train_model.py:41-46), scaled to the available run count
+    cuts = [int(f * nrun) for f in (0.833, 0.917)]
+    ds_train = ds.isel(run=slice(0, cuts[0]))
+    ds_val = ds.isel(run=slice(cuts[0], cuts[1]))
+    ds_test = ds.isel(run=slice(cuts[1], nrun))
+    log(f"data {cfg}/{op}-{nx}: {nrun} runs "
+        f"({cuts[0]}/{cuts[1] - cuts[0]}/{nrun - cuts[1]})")
+
+    for model_name in models:
+        for seed in range(realizations):
+            folder = os.path.join(BASE, cfg, f"models_{op}_{nx}",
+                                  f"{model_name}-{seed}")
+            if os.path.exists(os.path.join(folder, "model_args.json")):
+                continue
+            t0 = time.time()
+            if model_name == "CGANRegression":
+                model = MODEL_REGISTRY[model_name](folder=folder, nx=nx)
+                model.fit(ds_train, ds_val, key=seed, verbose=False)
+            elif model_name == "CVAERegression":
+                model = MODEL_REGISTRY[model_name](folder=folder)
+                model.fit(ds_train, ds_val, key=seed, verbose=False)
+            else:  # MeanVarModel / OLSModel: deterministic fits, 1 seed
+                model = MODEL_REGISTRY[model_name](folder=folder)
+                model.fit(ds_train, ds_val, verbose=False)
+            off = model.test_offline(ds_test, ensemble_size=1000)
+            off.to_npz(os.path.join(folder, "offline_test.npz"))
+            log(f"trained {model_name}-{seed} in {(time.time()-t0)/60:.1f}"
+                f" min; L2_mean={float(off['L2_mean'].values):.3f} "
+                f"L2_total={float(off['L2_total'].values):.3f}")
+
+
+def online_stage(cfg, op, nx, jobs, years=20.0, n_ens=10):
+    """jobs: list of (model_folder, subfolder, sampling, nsteps,
+    use_optimal)."""
+    from pyqg_generative_tpu.exp.pipeline import (compute_online_metrics,
+                                                  run_parameterized)
+    from pyqg_generative_tpu.models import load_model
+    from pyqg_generative_tpu.qg.params import (ANDREW_1000_STEPS,
+                                               EDDY_PARAMS, JET_PARAMS, YEAR)
+    from pyqg_generative_tpu.sim import run_ensemble
+    from pyqg_generative_tpu.utils import xrlite as xr
+
+    ref_glob = os.path.join(BASE, cfg, "reference_256", "*.npz")
+    p0 = (EDDY_PARAMS if cfg == "eddy" else JET_PARAMS).with_nx(nx)
+    p = p0.replace(tmax=years * YEAR, tavestart=5 * YEAR,
+                   precision="single")
+
+    results = {}
+    for model_folder, subfolder, sampling, nsteps, use_opt in jobs:
+        mpath = os.path.join(model_folder, subfolder)
+        metr_file = os.path.join(model_folder, f"metrics_{subfolder}.json")
+        if os.path.exists(metr_file):
+            with open(metr_file) as f:
+                results[f"{os.path.basename(model_folder)}/{subfolder}"] = \
+                    json.load(f)
+            continue
+        t0 = time.time()
+        if model_folder == "lores":
+            # unparameterized baseline
+            mdir = os.path.join(BASE, cfg, f"lores_{nx}")
+            os.makedirs(os.path.join(mdir, subfolder), exist_ok=True)
+            ds = run_ensemble(p, None, n_ens=n_ens,
+                              sampling_freq=ANDREW_1000_STEPS)
+            for j in range(n_ens):
+                ds.isel(run=j).to_npz(
+                    os.path.join(mdir, subfolder, f"{j}.npz"))
+            norm = compute_online_metrics(
+                BASE, mdir, ref_glob, op, nx, subfolder=subfolder,
+                save_file=f"metrics_{subfolder}.json")
+        else:
+            model = load_model(model_folder)
+            if use_opt:
+                ok = model.use_optimal_epoch()
+                if not ok:
+                    log(f"skip {model_folder} ({subfolder}): no opt weights")
+                    continue
+            ds = run_ensemble(p, {"self": model, "sampling": sampling,
+                                  "nsteps": nsteps}, n_ens=n_ens,
+                              sampling_freq=ANDREW_1000_STEPS)
+            folder = os.path.join(model_folder, subfolder)
+            os.makedirs(folder, exist_ok=True)
+            for j in range(n_ens):
+                ds.isel(run=j).to_npz(os.path.join(folder, f"{j}.npz"))
+            norm = compute_online_metrics(
+                BASE, model_folder, ref_glob, op, nx, subfolder=subfolder,
+                save_file=f"metrics_{subfolder}.json")
+        key = f"{os.path.basename(str(model_folder))}/{subfolder}"
+        results[key] = norm
+        log(f"online {key}: distrib={norm['distrib_score']:.3f} "
+            f"spectral={norm['spectral_score']:.3f} "
+            f"({time.time()-t0:.0f}s)")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="eddy")
+    ap.add_argument("--nx", type=int, default=48)
+    ap.add_argument("--operator", default="Operator2")
+    ap.add_argument("--realizations", type=int, default=5)
+    ap.add_argument("--models", nargs="+",
+                    default=["MeanVarModel", "CGANRegression",
+                             "CVAERegression"])
+    ap.add_argument("--skip-training", action="store_true")
+    args = ap.parse_args()
+    cfg, op, nx = args.cfg, args.operator, args.nx
+
+    if not args.skip_training:
+        train_stage(cfg, op, nx, args.models, args.realizations)
+
+    mdir = os.path.join(BASE, cfg, f"models_{op}_{nx}")
+    jobs = [("lores", f"{cfg}-none-0", "constant", 1, False)]
+    for seed in range(args.realizations):
+        for name, has_opt in (("CGANRegression", True),
+                              ("CVAERegression", True)):
+            if name not in args.models:
+                continue
+            f = os.path.join(mdir, f"{name}-{seed}")
+            if not os.path.exists(os.path.join(f, "model_args.json")):
+                continue
+            jobs.append((f, f"{cfg}-constant-0", "constant", 1, False))
+            jobs.append((f, f"{cfg}-constant-0-opt", "constant", 1, True))
+    if "MeanVarModel" in args.models:
+        f = os.path.join(mdir, "MeanVarModel-0")
+        if os.path.exists(os.path.join(f, "model_args.json")):
+            jobs.append((f, f"{cfg}-constant-0", "constant", 1, False))
+
+    results = online_stage(cfg, op, nx, jobs)
+
+    # decorrelation sweep on the best GAN realization
+    best_gan, best_score = None, 1e9
+    for key, r in results.items():
+        if "CGANRegression" in key and r["distrib_score"] < best_score:
+            best_score = r["distrib_score"]
+            best_gan = key
+    if best_gan:
+        name, sub = best_gan.split("/")
+        use_opt = sub.endswith("-opt")
+        f = os.path.join(mdir, name)
+        dt = 14400.0 if nx <= 64 else 7200.0
+        sweep = []
+        for dec in (12, 24, 36, 48):
+            nsteps = max(1, int(round(dec * 3600.0 / dt)))
+            sweep.append((f, f"{cfg}-AR1-{dec}" + ("-opt" if use_opt else ""),
+                          "AR1", nsteps, use_opt))
+        results.update(online_stage(cfg, op, nx, sweep))
+
+    out = os.path.join(BASE, cfg, f"quality_{op}_{nx}.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    log("wrote", out)
+    for k, v in sorted(results.items(),
+                       key=lambda kv: kv[1]["distrib_score"]):
+        log(f"  {k}: distrib={v['distrib_score']:.3f} "
+            f"spectral={v['spectral_score']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

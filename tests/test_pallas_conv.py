@@ -106,3 +106,32 @@ def test_make_online_cnn_packed(net_and_params):
     out1 = np.asarray(apply(x[0]))
     np.testing.assert_allclose(out1, ref[0], rtol=2e-4,
                                atol=2e-5 * np.abs(ref).max())
+
+
+def test_gan_pallas_backend_matches_xla(tmp_path):
+    """CGANRegression(online_backend='pallas') produces the same online
+    forcing as the XLA path (folded-BN generator, f32)."""
+    from pyqg_generative_tpu.models import CGANRegression
+
+    def build(backend):
+        m = CGANRegression(nx=NX, folder=str(tmp_path / "none"),
+                           hidden_channels=(8, 8),
+                           online_backend=backend)
+        key = jax.random.PRNGKey(0)
+        vG = m.G.init(key, jnp.zeros((1, NX, NX, 2 + m.n_latent)),
+                      train=True)
+        m.vars_G = {"params": vG["params"],
+                    "batch_stats": vG.get("batch_stats", {})}
+        from pyqg_generative_tpu.ml.scalers import ChannelwiseScaler
+        m.x_scale = ChannelwiseScaler.from_stats([0.0, 0.0], [1e-5, 1e-5])
+        m.y_scale = ChannelwiseScaler.from_stats([0.0, 0.0], [1e-11, 1e-11])
+        return m
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, NX, NX),
+                          jnp.float32) * 1e-5
+    z = jax.random.normal(jax.random.PRNGKey(2), (NX, NX, 2), jnp.float32)
+    f_xla = np.asarray(build("xla").predict_snapshot(q, z))
+    f_pal = np.asarray(build("pallas").predict_snapshot(q, z))
+    assert f_pal.shape == f_xla.shape
+    np.testing.assert_allclose(f_pal, f_xla, rtol=1e-3,
+                               atol=1e-4 * np.abs(f_xla).max())
