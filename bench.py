@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--snap-every", type=int, default=250)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--model-folder",
+                    default="/root/repo/trained_models/eddy_gan_64")
     args = ap.parse_args()
 
     if args.cpu:
@@ -44,7 +46,17 @@ def main():
 
     p = QGParams(nx=args.nx, dt=14400.0,
                  tavestart=0.0, precision="single")
-    model = _untrained_gan(args.nx)
+    # bench the SAME path used in quality validation: the trained GAN with
+    # BN folded into the convs (predict_snapshot online path). Falls back to
+    # a freshly initialized generator (identical FLOPs) off-repo.
+    import os
+    if os.path.exists(os.path.join(args.model_folder, "model_args.json")):
+        from pyqg_generative_tpu.models import load_model
+        model = load_model(args.model_folder)
+        model_note = args.model_folder
+    else:
+        model = _untrained_gan(args.nx)
+        model_note = "untrained (same FLOPs)"
 
     n_snaps = max(1, args.steps // args.snap_every)
     steps_per_snap = args.snap_every
@@ -87,7 +99,9 @@ def main():
     print(f"# wall {dt_wall:.2f}s for {args.members} members x "
           f"{total_steps} steps at {args.nx}^2 "
           f"(~{sim_years_per_day:,.0f} member-sim-years/day); "
-          f"devices={jax.devices()}", file=sys.stderr)
+          f"model={model_note}; BN-folded float32 online path — the same "
+          f"path scored in docs/VALIDATION.md; devices={jax.devices()}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-def train_stage(cfg, op, nx, models, realizations, data_cap=300):
+def train_stage(cfg, op, nx, models, realizations, data_cap=300,
+                transfer_cfg=None):
     from pyqg_generative_tpu.models import MODEL_REGISTRY
     from pyqg_generative_tpu.utils import xrlite as xr
 
@@ -43,14 +44,38 @@ def train_stage(cfg, op, nx, models, realizations, data_cap=300):
     ds_train = ds.isel(run=slice(0, cuts[0]))
     ds_val = ds.isel(run=slice(cuts[0], cuts[1]))
     ds_test = ds.isel(run=slice(cuts[1], nrun))
+    if cuts[0] < 250:
+        # small-dataset duplication (reference tools/train_model.py:41-44)
+        nstacks = max(1, 250 // cuts[0])
+        if nstacks > 1:
+            ds_train = xr.concat([ds_train] * nstacks, "run")
     log(f"data {cfg}/{op}-{nx}: {nrun} runs "
-        f"({cuts[0]}/{cuts[1] - cuts[0]}/{nrun - cuts[1]})")
+        f"({cuts[0]}/{cuts[1] - cuts[0]}/{nrun - cuts[1]}; train stacked to "
+        f"{ds_train['q'].sizes()['run']})")
+
+    ds_transfer = None
+    if transfer_cfg:
+        tglob = os.path.join(BASE, transfer_cfg, f"{op}-{nx}-dealias",
+                             "*.npz")
+        import glob as _glob
+        if _glob.glob(tglob):
+            # first 25 runs of the other configuration
+            # (reference tools/train_model.py:47,54)
+            ds_transfer = xr.open_mfdataset(tglob, "run")
+            ntr = min(25, ds_transfer["q"].sizes()["run"])
+            ds_transfer = ds_transfer.isel(run=slice(0, ntr))
 
     for model_name in models:
         for seed in range(realizations):
             folder = os.path.join(BASE, cfg, f"models_{op}_{nx}",
                                   f"{model_name}-{seed}")
+            tr_file = os.path.join(folder, "offline_transfer.npz")
             if os.path.exists(os.path.join(folder, "model_args.json")):
+                if ds_transfer is not None and not os.path.exists(tr_file):
+                    from pyqg_generative_tpu.models import load_model
+                    model = load_model(folder)
+                    model.test_offline(ds_transfer, 1000).to_npz(tr_file)
+                    log(f"transfer-tested existing {model_name}-{seed}")
                 continue
             t0 = time.time()
             if model_name == "CGANRegression":
@@ -64,6 +89,8 @@ def train_stage(cfg, op, nx, models, realizations, data_cap=300):
                 model.fit(ds_train, ds_val, verbose=False)
             off = model.test_offline(ds_test, ensemble_size=1000)
             off.to_npz(os.path.join(folder, "offline_test.npz"))
+            if ds_transfer is not None:
+                model.test_offline(ds_transfer, 1000).to_npz(tr_file)
             log(f"trained {model_name}-{seed} in {(time.time()-t0)/60:.1f}"
                 f" min; L2_mean={float(off['L2_mean'].values):.3f} "
                 f"L2_total={float(off['L2_total'].values):.3f}")
@@ -142,11 +169,14 @@ def main():
                     default=["MeanVarModel", "CGANRegression",
                              "CVAERegression"])
     ap.add_argument("--skip-training", action="store_true")
+    ap.add_argument("--transfer-cfg", default=None,
+                    help="other configuration for offline transfer tests")
     args = ap.parse_args()
     cfg, op, nx = args.cfg, args.operator, args.nx
 
     if not args.skip_training:
-        train_stage(cfg, op, nx, args.models, args.realizations)
+        train_stage(cfg, op, nx, args.models, args.realizations,
+                    transfer_cfg=args.transfer_cfg)
 
     mdir = os.path.join(BASE, cfg, f"models_{op}_{nx}")
     jobs = [("lores", f"{cfg}-none-0", "constant", 1, False)]
