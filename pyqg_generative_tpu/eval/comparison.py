@@ -158,12 +158,24 @@ def diagnostic_differences(ds1: xr.Dataset, ds2: xr.Dataset, T: int = 128):
     differences["spectral_diff_Eflux"], scales["spectral_diff_Eflux"] = \
         _spectral_rmse(total_eflux(ds1), total_eflux(ds2))
 
-    for key in ("APEflux", "APEgenspec", "KEfrictionspec"):
+    if "APEgenspec" in ds1 and "APEgenspec" in ds2:
+        d, s = _spectral_rmse(_mean_over_run(ds1, "APEgenspec").values,
+                              _mean_over_run(ds2, "APEgenspec").values)
+        differences["spectral_diff_APEgenspec"] = d
+        scales["spectral_diff_APEgenspec"] = s
+
+    # NOT part of the published spectral score: the reference's
+    # diagnostic_differences_Perezhogin computes exactly {KEspec1, KEspec2,
+    # Eflux, APEgenspec} (comparison_tools.py:164-189) even though its
+    # SPECTRAL_KEYS list names seven keys — APEflux/KEflux/KEfrictionspec
+    # are never emitted there, so spectral_score averages four values.
+    # Keep the extras under non-scoring names for diagnostics.
+    for key in ("APEflux", "KEfrictionspec"):
         if key in ds1 and key in ds2:
             d, s = _spectral_rmse(_mean_over_run(ds1, key).values,
                                   _mean_over_run(ds2, key).values)
-            differences[f"spectral_diff_{key}"] = d
-            scales[f"spectral_diff_{key}"] = s
+            differences[f"extra_diff_{key}"] = d
+            scales[f"extra_diff_{key}"] = s
 
     normalized = {k: differences[k] / scales[k] if scales[k] else np.nan
                   for k in differences}

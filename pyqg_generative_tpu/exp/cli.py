@@ -118,6 +118,13 @@ def cmd_forecast(args):
     q_init = ic["q"].isel(time=args.ic_time).values
     if "run" in ic["q"].dims:
         q_init = q_init[args.ic_run]
+    if args.operator and q_init.shape[-1] != p.nx:
+        # coarse-grain a high-resolution IC with the training operator
+        # (reference tools/simulate.py:268-271)
+        import numpy as np
+
+        from ..qg.operators import OPERATORS
+        q_init = np.asarray(OPERATORS[args.operator](q_init, p.nx))
     model = load_model(args.model_folder) if args.model_folder else None
     parameterization = None if model is None else \
         {"self": model, "sampling": args.sampling, "nsteps": args.nsteps}
@@ -128,6 +135,7 @@ def cmd_forecast(args):
     for var in ("q", "u", "v", "psi"):
         out[var] = ds[var].isel(run=0)
         out[var + "_mean"] = ds[var].mean("run")
+        out[var + "_std"] = ds[var].std("run")
     os.makedirs(args.subfolder, exist_ok=True)
     out.to_npz(os.path.join(args.subfolder, f"{args.number}.npz"))
 
@@ -202,6 +210,8 @@ def main(argv=None):
     s.add_argument("--ic-time", type=int, default=-1)
     s.add_argument("--ic-run", type=int, default=0)
     s.add_argument("--number", type=int, default=0)
+    s.add_argument("--operator", type=str, default="",
+                   help="coarse-grain a high-res IC with this operator")
     s.set_defaults(fn=cmd_forecast)
 
     s = sub.add_parser("train")

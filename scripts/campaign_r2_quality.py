@@ -111,6 +111,11 @@ def online_stage(cfg, op, nx, jobs, years=20.0, n_ens=10):
     p0 = (EDDY_PARAMS if cfg == "eddy" else JET_PARAMS).with_nx(nx)
     p = p0.replace(tmax=years * YEAR, tavestart=5 * YEAR,
                    precision="single")
+    if nx == 48:
+        # the published 48^2 online table ran 86,400 steps over 20 years
+        # => dt = 7200 s (reference Google-Colab/online-simulations.ipynb
+        # cell 12), not the dt-table's 14400
+        p = p.replace(dt=7200.0)
 
     results = {}
     for model_folder, subfolder, sampling, nsteps, use_opt in jobs:
@@ -207,7 +212,7 @@ def main():
         name, sub = best_gan.split("/")
         use_opt = sub.endswith("-opt")
         f = os.path.join(mdir, name)
-        dt = 14400.0 if nx <= 64 else 7200.0
+        dt = 7200.0 if nx == 48 else (14400.0 if nx <= 64 else 7200.0)
         sweep = []
         for dec in (12, 24, 36, 48):
             nsteps = max(1, int(round(dec * 3600.0 / dt)))
