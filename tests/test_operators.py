@@ -143,3 +143,38 @@ def test_pv_subgrid_forcing_shapes(rng):
     for arr in (forcing, qc, uc, vc, psic):
         assert np.asarray(arr).shape == (2, 32, 32)
         assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_gcm_filter_discrete_gaussian():
+    """gcm_filter follows the gcm_filters construction: polynomial of the
+    discrete 5-point Laplacian approximating exp(-k^2 L^2 / 24); it must (a)
+    preserve the mean exactly, (b) match the spectral Gaussian closely at
+    well-resolved scales, (c) damp *less* than the continuous Gaussian at
+    grid scale (discrete eigenvalues are smaller than k^2 there)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyqg_generative_tpu.qg.operators import gauss_filter, gcm_filter
+    from pyqg_generative_tpu.qg.grid import make_grid
+
+    n, nc = 64, 32
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float64))
+    Y = np.asarray(gcm_filter(X, nc))
+    Yg = np.asarray(gauss_filter(X, nc))
+    # mean preserved exactly (k=0 transmission is 1)
+    np.testing.assert_allclose(Y.mean(axis=(-2, -1)),
+                               np.asarray(X).mean(axis=(-2, -1)), atol=1e-12)
+    # large-scale mode almost untouched and close to the spectral Gaussian
+    g = make_grid(n)
+    x = np.arange(n) * g.dx
+    mode = np.cos(2 * np.pi * x / g.L)[None, :] * np.ones((n, 1))
+    m1 = np.asarray(gcm_filter(jnp.asarray(mode[None]), nc))[0]
+    m2 = np.asarray(gauss_filter(jnp.asarray(mode[None]), nc))[0]
+    np.testing.assert_allclose(m1, m2, rtol=2e-3, atol=1e-6)
+    # at grid scale the discrete filter transmits more than the continuous
+    nyq = np.cos(np.pi * np.arange(n))[None, :] * np.ones((n, 1))
+    t_disc = float(np.abs(np.asarray(
+        gcm_filter(jnp.asarray(nyq[None]), nc))).max())
+    t_cont = float(np.abs(np.asarray(
+        gauss_filter(jnp.asarray(nyq[None]), nc))).max())
+    assert t_disc > t_cont
