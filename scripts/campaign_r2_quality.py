@@ -174,6 +174,9 @@ def main():
                     default=["MeanVarModel", "CGANRegression",
                              "CVAERegression"])
     ap.add_argument("--skip-training", action="store_true")
+    ap.add_argument("--no-lores", action="store_true",
+                    help="skip the unparameterized baseline job (when a "
+                         "parallel stream runs it)")
     ap.add_argument("--transfer-cfg", default=None,
                     help="other configuration for offline transfer tests")
     args = ap.parse_args()
@@ -184,7 +187,8 @@ def main():
                     transfer_cfg=args.transfer_cfg)
 
     mdir = os.path.join(BASE, cfg, f"models_{op}_{nx}")
-    jobs = [("lores", f"{cfg}-none-0", "constant", 1, False)]
+    jobs = [] if args.no_lores else \
+        [("lores", f"{cfg}-none-0", "constant", 1, False)]
     for seed in range(args.realizations):
         for name, has_opt in (("CGANRegression", True),
                               ("CVAERegression", True)):
