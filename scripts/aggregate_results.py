@@ -1,0 +1,126 @@
+"""Aggregate round-2 campaign outputs into the docs/VALIDATION.md tables.
+
+Reads quality_*.json files, offline_test/offline_transfer npz files, and
+forecast skill tables under data_r2/, and prints markdown tables ready to
+paste into docs/VALIDATION.md.
+
+Run:  python scripts/aggregate_results.py
+"""
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+BASE = "/root/repo/data_r2"
+
+PUBLISHED_48 = {  # reference Google-Colab/online-simulations.ipynb cells 30-33
+    "GAN": (0.0348, 0.2213),
+    "VAE": (0.0414, 0.2144),
+    "GZ": (0.2089, 0.4819),
+    "lores": (0.1888, 0.5054),
+}
+
+
+def family(key):
+    if "lores" in key:
+        return "lores"
+    if "CGAN" in key:
+        return "GAN"
+    if "CVAE" in key:
+        return "VAE"
+    if "MeanVar" in key:
+        return "GZ"
+    return key
+
+
+def online_tables():
+    for qf in sorted(glob.glob(os.path.join(BASE, "*", "quality_*.json"))):
+        cfg = os.path.basename(os.path.dirname(qf))
+        name = os.path.basename(qf)[:-5]
+        results = json.load(open(qf))
+        print(f"\n### Online scores — {cfg} / {name}\n")
+        print("| run | distrib | spectral |")
+        print("|---|---|---|")
+        for k, v in sorted(results.items(),
+                           key=lambda kv: kv[1]["distrib_score"]):
+            print(f"| {k} | {v['distrib_score']:.3f} | "
+                  f"{v['spectral_score']:.3f} |")
+        best = {}
+        for k, v in results.items():
+            f = family(k)
+            if f not in best or v["distrib_score"] < best[f][1]:
+                best[f] = (k, v["distrib_score"], v["spectral_score"])
+        print("\nBest per family vs published (48^2 eddy):\n")
+        print("| family | this framework | published |")
+        print("|---|---|---|")
+        for f, (k, d, s) in sorted(best.items()):
+            pub = PUBLISHED_48.get(f)
+            pubs = f"{pub[0]:.3f} / {pub[1]:.3f}" if pub else "--"
+            print(f"| {f} | {d:.3f} / {s:.3f} ({k}) | {pubs} |")
+
+
+def offline_tables():
+    from pyqg_generative_tpu.utils import xrlite as xr
+    rows = []
+    for f in sorted(glob.glob(os.path.join(
+            BASE, "*", "models_*", "*", "offline_test.npz"))):
+        parts = f.split(os.sep)
+        cfg, mgrid, model = parts[-4], parts[-3], parts[-2]
+        ds = xr.Dataset.from_npz(f)
+        row = dict(cfg=cfg, grid=mgrid, model=model,
+                   L2_mean=float(ds["L2_mean"].values),
+                   L2_total=float(ds["L2_total"].values),
+                   L2_res=float(ds["L2_residual"].values),
+                   var_ratio=float(np.mean(ds["var_ratio"].values)))
+        tf = f.replace("offline_test.npz", "offline_transfer.npz")
+        if os.path.exists(tf):
+            dt_ = xr.Dataset.from_npz(tf)
+            row["L2_total_transfer"] = float(dt_["L2_total"].values)
+        rows.append(row)
+    if rows:
+        print("\n### Offline skill (held-out runs; transfer = other config)\n")
+        print("| cfg | grid | model | L2_mean | L2_total | L2_res | "
+              "var_ratio | L2_total transfer |")
+        print("|---|---|---|---|---|---|---|---|")
+        for r in rows:
+            tr = r.get("L2_total_transfer")
+            trs = f"{tr:.3f}" if tr is not None else "--"
+            print(f"| {r['cfg']} | {r['grid']} | {r['model']} | "
+                  f"{r['L2_mean']:.3f} | {r['L2_total']:.3f} | "
+                  f"{r['L2_res']:.3f} | {r['var_ratio']:.3f} | {trs} |")
+
+
+def forecast_tables():
+    for f in sorted(glob.glob(os.path.join(
+            BASE, "*", "forecast_*", "skill_table.json"))):
+        table = json.load(open(f))
+        name = os.path.basename(os.path.dirname(f))
+        print(f"\n### Forecast skill — {name} "
+              "(normalized ens-mean RMSE / spread / reliability ratio)\n")
+        days = sorted({int(d) for row in table.values()
+                       for d in row.get("rmse", {})})
+        print("| decorrelation | " +
+              " | ".join(f"day {d}" for d in days) + " |")
+        print("|---|" + "---|" * len(days))
+        for dec, row in sorted(table.items(), key=lambda kv: int(kv[0])):
+            cells = []
+            for d in days:
+                r = row.get("rmse", {}).get(str(d)) or \
+                    row.get("rmse", {}).get(d)
+                s = row.get("spread", {}).get(str(d)) or \
+                    row.get("spread", {}).get(d)
+                rat = row.get("ratio", {}).get(str(d)) or \
+                    row.get("ratio", {}).get(d)
+                cells.append(f"{r:.3f}/{s:.3f}/{rat:.2f}"
+                             if r is not None else "--")
+            print(f"| {dec} h | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    online_tables()
+    offline_tables()
+    forecast_tables()

@@ -66,7 +66,9 @@ def train_stage(cfg, op, nx, models, realizations, data_cap=300,
             ds_transfer = ds_transfer.isel(run=slice(0, ntr))
 
     for model_name in models:
-        for seed in range(realizations):
+        n_seeds = realizations if model_name in (
+            "CGANRegression", "CVAERegression") else 1
+        for seed in range(n_seeds):
             folder = os.path.join(BASE, cfg, f"models_{op}_{nx}",
                                   f"{model_name}-{seed}")
             tr_file = os.path.join(folder, "offline_transfer.npz")
