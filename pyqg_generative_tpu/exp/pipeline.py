@@ -214,8 +214,19 @@ def compute_online_metrics(base: str, model_folder: str, reference_glob: str,
     (reference scripts/compute_online_metrics.py:19-48)."""
     model_ds = xr.open_mfdataset(
         os.path.join(model_folder, subfolder, "*.npz"), "run")
-    ref = xr.open_mfdataset(reference_glob, "run")
-    target = coarsegrain_reference_dataset(ref, resolution, operator)
+    cache = os.path.join(os.path.dirname(reference_glob),
+                         f".coarse_{operator}_{resolution}.npz")
+    if os.path.exists(cache):
+        target = xr.Dataset.from_npz(cache)
+    else:
+        ref = xr.open_mfdataset(reference_glob, "run")
+        target = coarsegrain_reference_dataset(ref, resolution, operator)
+        try:
+            tmp = cache + ".tmp"
+            target.to_npz(tmp)
+            os.replace(tmp, cache)
+        except OSError:
+            pass
     norm, diffs, scales = diagnostic_differences(model_ds, target, T=T)
     from ..eval.comparison import distrib_score, spectral_score
     norm["distrib_score"] = distrib_score(norm)

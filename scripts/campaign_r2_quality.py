@@ -121,8 +121,8 @@ def online_stage(cfg, op, nx, jobs, years=20.0, n_ens=10):
 
     results = {}
     for model_folder, subfolder, sampling, nsteps, use_opt in jobs:
-        mpath = os.path.join(model_folder, subfolder)
-        metr_file = os.path.join(model_folder, f"metrics_{subfolder}.json")
+        out_dir = os.path.join(BASE, cfg, f"lores_{nx}")             if model_folder == "lores" else model_folder
+        metr_file = os.path.join(out_dir, f"metrics_{subfolder}.json")
         if os.path.exists(metr_file):
             with open(metr_file) as f:
                 results[f"{os.path.basename(model_folder)}/{subfolder}"] = \
@@ -131,7 +131,7 @@ def online_stage(cfg, op, nx, jobs, years=20.0, n_ens=10):
         t0 = time.time()
         if model_folder == "lores":
             # unparameterized baseline
-            mdir = os.path.join(BASE, cfg, f"lores_{nx}")
+            mdir = out_dir
             os.makedirs(os.path.join(mdir, subfolder), exist_ok=True)
             ds = run_ensemble(p, None, n_ens=n_ens,
                               sampling_freq=ANDREW_1000_STEPS)
@@ -176,6 +176,8 @@ def main():
                     default=["MeanVarModel", "CGANRegression",
                              "CVAERegression"])
     ap.add_argument("--skip-training", action="store_true")
+    ap.add_argument("--no-sweep", action="store_true",
+                    help="skip the decorrelation sweep stage")
     ap.add_argument("--no-lores", action="store_true",
                     help="skip the unparameterized baseline job (when a "
                          "parallel stream runs it)")
@@ -209,6 +211,12 @@ def main():
     results = online_stage(cfg, op, nx, jobs)
 
     # decorrelation sweep on the best GAN realization
+    if args.no_sweep:
+        out = os.path.join(BASE, cfg, f"quality_{op}_{nx}.json")
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        log("wrote", out, "(no sweep)")
+        return
     best_gan, best_score = None, 1e9
     for key, r in results.items():
         if "CGANRegression" in key and r["distrib_score"] < best_score:
