@@ -37,11 +37,35 @@ def family(key):
     return key
 
 
+def collect_metrics(cfg, op="Operator2", nx=48):
+    """Merge every metrics_*.json under the config's model/lores folders."""
+    results = {}
+    pats = [os.path.join(BASE, cfg, f"models_{op}_{nx}", "*",
+                         "metrics_*.json"),
+            os.path.join(BASE, cfg, f"lores_{nx}", "metrics_*.json"),
+            os.path.join("/root/repo/trained_models", "*",
+                         "metrics_*.json")]
+    for pat in pats:
+        for f in glob.glob(pat):
+            model = os.path.basename(os.path.dirname(f))
+            sub = os.path.basename(f)[len("metrics_"):-len(".json")]
+            if cfg == "eddy" and sub.startswith("jet"):
+                continue
+            if cfg == "jet" and not sub.startswith("jet"):
+                continue
+            try:
+                results[f"{model}/{sub}"] = json.load(open(f))
+            except Exception:
+                pass
+    return results
+
+
 def online_tables():
-    for qf in sorted(glob.glob(os.path.join(BASE, "*", "quality_*.json"))):
-        cfg = os.path.basename(os.path.dirname(qf))
-        name = os.path.basename(qf)[:-5]
-        results = json.load(open(qf))
+    for cfg in ("eddy", "jet"):
+        name = f"all metrics (Operator2-48)"
+        results = collect_metrics(cfg)
+        if not results:
+            continue
         print(f"\n### Online scores — {cfg} / {name}\n")
         print("| run | distrib | spectral |")
         print("|---|---|---|")
