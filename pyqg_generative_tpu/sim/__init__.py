@@ -1,4 +1,5 @@
 from . import simulate, stochastic
 from .simulate import (run_simulation, run_ensemble,
+                       run_ensemble_segmented,
                        generate_subgrid_forcing, set_initial_condition,
                        init_run_carry, advance_run, run_with_snapshots)

@@ -284,6 +284,49 @@ def run_ensemble(pyqg_params: QGParams, parameterization=None,
                           steps_per_snap * p.dt, n_snaps, run_dim=True)
 
 
+def run_ensemble_segmented(pyqg_params: QGParams, parameterization=None,
+                           n_ens: int = 10, q_init=None,
+                           sampling_freq: float = ANDREW_1000_STEPS,
+                           key: int = 0, with_diags: bool = True,
+                           n_segments: int = 4) -> xr.Dataset:
+    """`run_ensemble` split into `n_segments` device programs with a host
+    synchronization between them. Functionally identical (the carry is the
+    exact scan state); use for very long scans that exceed a runtime's
+    single-program limits (e.g. the 86,400-step two-CNN GZ program that
+    overruns this environment's TPU worker — docs/VALIDATION.md round-2
+    GZ note)."""
+    p = pyqg_params
+    model, sampling, nsteps = _normalize_parameterization(parameterization)
+    steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
+    n_snaps = max(1, int(p.tmax // (steps_per_snap * p.dt)))
+    if q_init is not None:
+        q0 = jnp.asarray(q_init, p.dtype_real)
+        if q0.ndim == 3:
+            q0 = jnp.broadcast_to(q0, (n_ens,) + q0.shape)
+    else:
+        q0 = jnp.stack([set_initial_condition(p, key * 1000 + j)
+                        for j in range(n_ens)])
+    keys = jax.random.split(jax.random.PRNGKey(key), n_ens)
+    carry = jax.vmap(lambda q, k: init_run_carry(p, q, k, model,
+                                                 with_diags))(q0, keys)
+
+    bounds = np.linspace(0, n_snaps, n_segments + 1).astype(int)
+    seg_snaps = []
+    diags = None
+    for i in range(n_segments):
+        m = int(bounds[i + 1] - bounds[i])
+        if m == 0:
+            continue
+        adv = jax.jit(jax.vmap(_advance_program(
+            p, model, sampling, nsteps, steps_per_snap, m, with_diags)))
+        carry, snaps, diags = adv(carry)
+        seg_snaps.append(jax.device_get(snaps))   # host sync per segment
+    merged = {k: np.concatenate([s[k] for s in seg_snaps], axis=1)
+              for k in seg_snaps[0]}
+    return _build_dataset(merged, jax.device_get(diags), p,
+                          steps_per_snap * p.dt, n_snaps, run_dim=True)
+
+
 def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
                              sampling_freq: float = ANDREW_1000_STEPS,
                              operators: Sequence[str] = ("Operator2",

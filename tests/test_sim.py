@@ -158,3 +158,21 @@ def test_constant_sampler_skips_computation():
     assert forcings[0] == forcings[1] == forcings[2]
     assert forcings[3] == forcings[4] == forcings[5]
     assert forcings[0] != forcings[3]
+
+
+def test_run_ensemble_segmented_equivalence():
+    """Segmented execution is bit-identical to the single-program ensemble
+    (the carry IS the full scan state)."""
+    import numpy as np
+    from pyqg_generative_tpu.qg.params import QGParams
+    from pyqg_generative_tpu.sim import run_ensemble, run_ensemble_segmented
+
+    p = QGParams(nx=16, dt=14400.0, tmax=16 * 14400.0, tavestart=0.0,
+                 precision="single")
+    a = run_ensemble(p, None, n_ens=2, sampling_freq=4 * 14400.0, key=3)
+    b = run_ensemble_segmented(p, None, n_ens=2, sampling_freq=4 * 14400.0,
+                               key=3, n_segments=2)
+    for v in ("q", "u", "v"):
+        np.testing.assert_array_equal(a[v].values, b[v].values)
+    np.testing.assert_allclose(a["KEspec"].values, b["KEspec"].values,
+                               rtol=1e-6)
