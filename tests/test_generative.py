@@ -158,3 +158,28 @@ def test_gan_online_coupling(tmp_path, ds_pair):
                         sampling_freq=10 * 14400.0)
     assert np.isfinite(ds["q"].values).all()
     assert "paramspec" in ds
+
+
+def test_gan_epoch_bank_and_stable_selection(tmp_path, ds_pair):
+    """fit(retain_every=...) banks generator epochs; select_stable_epoch
+    probes them with short coupled rollouts and retains the most
+    amplitude-stable generator (G_stable.msgpack)."""
+    import os
+    from pyqg_generative_tpu.qg.params import QGParams, YEAR
+
+    ds_train, ds_test = ds_pair
+    folder = str(tmp_path / "gan_bank")
+    m = CGANRegression(nx=NX, folder=folder, **SMALL)
+    m.fit(ds_train, ds_test, num_epochs=4, batch_size=16, nruns=0,
+          verbose=False, retain_every=2)
+    bank = sorted(os.listdir(os.path.join(folder, "epoch_bank")))
+    assert bank == ["G_2.msgpack", "G_4.msgpack"]
+
+    rng = np.random.default_rng(0)
+    q0 = rng.normal(size=(2, NX, NX)).astype("float32") * 1e-6
+    p = QGParams(nx=NX, dt=14400.0, precision="single")
+    best, results = m.select_stable_epoch(
+        pyqg_params=p, q_init=q0, years=0.05, n_ens=1, verbose=False)
+    assert best in (2, 4)
+    assert set(results) == {2, 4}
+    assert os.path.exists(os.path.join(folder, "G_stable.msgpack"))
