@@ -318,18 +318,38 @@ def _cache_path(path: str) -> str:
     return os.path.join(d, name)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Fingerprint of the glob's source files (names + sizes + mtimes), so a
+    re-generated run invalidates its stale sidecar cache — the reference's
+    hex-named cache (comparison_tools.py:273-278) silently survives re-runs."""
+    import glob as _glob
+    import hashlib
+    items = []
+    for f in sorted(_glob.glob(path)):
+        if f.endswith(".cache_npz.npz"):
+            continue
+        st = os.stat(f)
+        items.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(items).encode()).hexdigest()[:16]
+
+
 def dataset_smart_read(path: str, delta: float = 0.25,
                        read_cache: bool = True,
                        compute_all: bool = True) -> xr.Dataset:
     """Open a multi-run glob of .npz datasets, compute derived statistics and
-    cache them to a hex-named sidecar (reference comparison_tools.py:273-410)."""
+    cache them to a hex-named sidecar (reference comparison_tools.py:273-410).
+    The sidecar records a fingerprint of the source files and is recomputed
+    if any source was re-generated since the cache was written."""
     cache = _cache_path(path)
+    fp = _source_fingerprint(path)
     ds = xr.open_mfdataset(path, "run")
     if os.path.exists(cache) and read_cache:
         stats = xr.Dataset.from_npz(cache)
-        return ds.update(stats)
+        if stats.attrs.get("source_fingerprint", "") == fp:
+            return ds.update(stats)
     if os.path.exists(cache):
         os.remove(cache)
     stats = dataset_statistics(ds, delta=delta, compute_all=compute_all)
+    stats.attrs["source_fingerprint"] = fp
     stats.to_npz(cache)
     return ds.update(stats)

@@ -100,6 +100,11 @@ def spread_skill_dataset(folder: str, var: str = "q", n_ens: int | None = None,
         skills.append(ensemble_skill(ds, var, delta))
         if var + "_std" in ds:
             spreads.append(ensemble_spread(ds, var, delta))
+        # run_forecasting records the member count actually used in the
+        # saved mean/std (member-0 excluded); prefer it over the caller's
+        # n_ens so the reliability factor matches the data.
+        if n_ens is None and "n_ens_stat" in ds.attrs:
+            n_ens = int(ds.attrs["n_ens_stat"])
     rmse = np.mean(np.stack(skills), axis=0)
     out = xr.Dataset()
     out["rmse"] = xr.DataArray(rmse, ("time",))

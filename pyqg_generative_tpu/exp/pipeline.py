@@ -132,12 +132,21 @@ def forecast_initial_conditions(reference_glob: str, nx: int,
 
     from ..qg.operators import OPERATORS
     op = OPERATORS[operator]
-    files = sorted(_glob.glob(reference_glob))
+
+    def _run_number(path):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return int(stem) if stem.isdigit() else -1
+
+    # Map run number -> file by the number embedded in the filename (the
+    # reference builds path = dir + str(run) + '.nc' directly); positional
+    # indexing of a lexicographic sort breaks past 10 runs ('10' < '2').
+    by_number = {_run_number(f): f for f in _glob.glob(reference_glob)
+                 if _run_number(f) >= 0}
     for number in range(n_ic):
         run, tsel = (number, -1) if number < 10 else (number - 10, -30)
-        if run >= len(files):
+        if run not in by_number:
             continue
-        ic = xr.Dataset.from_npz(files[run])
+        ic = xr.Dataset.from_npz(by_number[run])
         q = ic["q"].isel(time=tsel).values
         if q.ndim == 4:  # (run, lev, y, x) member file saved with run dim
             q = q[0]
@@ -172,10 +181,17 @@ def run_forecasting(base: str, model_folder: str | None,
                               sampling_freq=DAY, key=number,
                               with_diags=False)
             out = xr.Dataset(attrs=ds.attrs)
+            # Member-0 is the verifying member; the saved mean/std are over
+            # the remaining n_ens-1 members so that RMSE vs member-0 is
+            # unbiased and the sqrt((M+1)/M) reliability factor (with
+            # M = n_ens-1) is exact for a reliable ensemble. (The reference
+            # format includes member-0 in the mean — a known bias.)
             for var in ("q", "u", "v", "psi"):
                 out[var] = ds[var].isel(run=0)
-                out[var + "_mean"] = ds[var].mean("run")
-                out[var + "_std"] = ds[var].std("run")
+                rest = ds[var].isel(run=slice(1, None))
+                out[var + "_mean"] = rest.mean("run")
+                out[var + "_std"] = rest.std("run")
+            out.attrs["n_ens_stat"] = n_ens - 1
             folder = os.path.join(base, subfolder, f"decorrelation-{dec}h")
             os.makedirs(folder, exist_ok=True)
             out.to_npz(os.path.join(folder, f"{number}.npz"))

@@ -299,14 +299,20 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
     ckpt = TrainCheckpointer(net.folder, checkpoint_every,
                              name="vae_train_ckpt")
     epoch0 = 0
-    resumed = ckpt.restore(carry)
+    best = {"loss": float("inf"), "vars_dec": None, "epoch": 0}
+    # Best-epoch tracking is part of the checkpointed state (as in
+    # train_CGAN), so a crash-resumed run keeps any pre-crash best decoder
+    # and decoder_opt.msgpack matches an uninterrupted run bit-for-bit.
+    best_template = jax.device_get(net.vars_dec)
+    resumed = ckpt.restore((carry, best_template))
     if resumed is not None:
-        epoch0, carry, log, rng, jkey, _ = resumed
+        epoch0, (carry, best_vars), log, rng, jkey, extra = resumed
+        if extra.get("best_epoch", 0) > 0:
+            best = {"loss": extra["best_loss"], "vars_dec": best_vars,
+                    "epoch": extra["best_epoch"]}
         net._set_vae_variables(carry[0], carry[1])
         if verbose:
             print(f"resuming VAE training from epoch {epoch0}")
-
-    best = {"loss": float("inf"), "vars_dec": None, "epoch": 0}
     t_s = _time.time()
     for epoch in range(epoch0, num_epochs):
         t_e = _time.time()
@@ -327,7 +333,13 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
                             vars_dec=jax.device_get(net.vars_dec))
         for k, v in row.items():
             log.setdefault(k, []).append(v)
-        ckpt.maybe_save(epoch + 1, carry, log, rng, jkey)
+        ckpt.maybe_save(
+            epoch + 1,
+            (carry, best["vars_dec"] if best["vars_dec"] is not None
+             else best_template),
+            log, rng, jkey,
+            extra={"best_loss": best["loss"] if best["epoch"] else 0.0,
+                   "best_epoch": best["epoch"]})
         if verbose:
             t = _time.time()
             eta = (t - t_s) * (num_epochs / (epoch + 1) - 1)

@@ -313,13 +313,18 @@ def run_ensemble_segmented(pyqg_params: QGParams, parameterization=None,
     bounds = np.linspace(0, n_snaps, n_segments + 1).astype(int)
     seg_snaps = []
     diags = None
+    # One compiled program per distinct segment length: equal-length
+    # segments (the common case) reuse a single jitted executable instead
+    # of recompiling the full fused program every iteration.
+    adv_cache: dict = {}
     for i in range(n_segments):
         m = int(bounds[i + 1] - bounds[i])
         if m == 0:
             continue
-        adv = jax.jit(jax.vmap(_advance_program(
-            p, model, sampling, nsteps, steps_per_snap, m, with_diags)))
-        carry, snaps, diags = adv(carry)
+        if m not in adv_cache:
+            adv_cache[m] = jax.jit(jax.vmap(_advance_program(
+                p, model, sampling, nsteps, steps_per_snap, m, with_diags)))
+        carry, snaps, diags = adv_cache[m](carry)
         seg_snaps.append(jax.device_get(snaps))   # host sync per segment
     merged = {k: np.concatenate([s[k] for s in seg_snaps], axis=1)
               for k in seg_snaps[0]}

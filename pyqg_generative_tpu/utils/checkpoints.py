@@ -65,7 +65,14 @@ def save_checkpoint(path: str, tree) -> None:
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
-    np.savez(path, **flat)
+    # Write-then-rename so a crash mid-save never leaves a corrupt .npz at
+    # the final path (np.savez appends '.npz' unless the name already ends
+    # with it, so keep the suffix on the temp name and replace atomically).
+    tmp = path if path.endswith(".npz") else path + ".npz"
+    tmp += ".tmp.npz"
+    np.savez(tmp, **flat)
+    final = path if path.endswith(".npz") else path + ".npz"
+    os.replace(tmp, final)
 
 
 def load_checkpoint(path: str, template):

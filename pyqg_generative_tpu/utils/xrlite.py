@@ -452,6 +452,8 @@ def open_mfdataset(paths: Iterable[str], concat_dim: str = "run") -> Dataset:
     """
     import glob as _glob
     if isinstance(paths, str):
-        paths = sorted(_glob.glob(paths))
+        # never pick up sidecar statistics caches written next to the runs
+        paths = sorted(p for p in _glob.glob(paths)
+                       if not p.endswith(".cache_npz.npz"))
     dss = [Dataset.from_npz(p) for p in paths]
     return concat(dss, concat_dim)
