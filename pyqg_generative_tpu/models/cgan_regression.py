@@ -168,6 +168,7 @@ class CGANRegression(Parameterization):
     def select_stable_epoch(self, pyqg_params=None, q_init=None,
                             years: float = 3.0, n_ens: int = 2,
                             target_std: float | None = None,
+                            target_kespec=None, spectrum_weight: float = 1.0,
                             verbose: bool = True):
         """Online-stability-aware epoch selection: probe every banked epoch
         (epoch_bank/G_*.msgpack, written by fit(retain_every=...)) with a
@@ -175,7 +176,15 @@ class CGANRegression(Parameterization):
         generator whose equilibrium amplitude stays closest to the target
         (saved as G_stable.msgpack and loaded into the model). The
         reference's Epoch_opt uses offline loss only; online hot-equilibrium
-        drift is invisible to it. Returns (best_epoch, {epoch: std})."""
+        drift is invisible to it.
+
+        If `target_kespec` is given — a (lev, l, k) 2-D KE spectrum of the
+        coarse-grained reference (e.g. target["KEspec"].mean("run").values) —
+        the probe also accumulates the rollout's KEspec over its second half
+        and adds `spectrum_weight` x (normalized isotropic-KE-spectrum RMSE,
+        k < 2/3 Nyquist — the metric stack's definition) to the score: a
+        closure can hold the right std(q) with the wrong spectrum shape.
+        Returns (best_epoch, {epoch: (std, spec_err)})."""
         import glob as _glob
 
         from ..qg.params import QGParams, YEAR, ANDREW_1000_STEPS
@@ -187,7 +196,10 @@ class CGANRegression(Parameterization):
             return None, {}
         p = pyqg_params or QGParams(nx=self.nx, dt=7200.0,
                                     precision="single")
-        p = p.replace(tmax=years * YEAR, tavestart=years * YEAR)
+        # with a spectrum target, accumulate diagnostics over the 2nd half
+        tave_frac = 0.5 if target_kespec is not None else 1.0
+        p = p.replace(tmax=years * YEAR,
+                      tavestart=tave_frac * years * YEAR)
         if q_init is None:
             data = os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "..", "tests", "data",
@@ -213,11 +225,23 @@ class CGANRegression(Parameterization):
                                   "nsteps": 1}, n_ens=n_ens, q_init=q_init,
                               sampling_freq=ANDREW_1000_STEPS, key=epoch)
             std = float(np.std(ds["q"].values[:, -1]))
-            results[epoch] = std
-            score = abs(np.log(std / target_std))
+            spec_err = 0.0
+            if target_kespec is not None and "KEspec" in ds:
+                from ..eval.comparison import _spectral_rmse
+                probe_spec = ds["KEspec"].values
+                if probe_spec.ndim == 4:  # (run, lev, l, k)
+                    probe_spec = probe_spec.mean(axis=0)
+                diff, scale = _spectral_rmse(probe_spec,
+                                             np.asarray(target_kespec))
+                spec_err = float(diff / scale)
+            results[epoch] = (std, spec_err)
+            score = abs(np.log(std / target_std)) + \
+                spectrum_weight * spec_err
             if verbose:
                 print(f"epoch {epoch}: final std(q) {std:.3e} "
-                      f"(target {target_std:.3e})")
+                      f"(target {target_std:.3e})"
+                      + (f", KEspec err {spec_err:.3f}"
+                         if target_kespec is not None else ""))
             if score < best[1]:
                 best = (epoch, score, jax.device_get(self.vars_G))
         self.vars_G = orig

@@ -183,3 +183,14 @@ def test_gan_epoch_bank_and_stable_selection(tmp_path, ds_pair):
     assert best in (2, 4)
     assert set(results) == {2, 4}
     assert os.path.exists(os.path.join(folder, "G_stable.msgpack"))
+
+    # spectrum-aware probe: a KEspec target adds a shape term to the score
+    # (VERDICT round-2 weak #3: amplitude alone can hide wrong spectra)
+    import numpy as _np
+    tgt = _np.ones((2, NX, NX // 2 + 1), "float64")
+    best2, results2 = m.select_stable_epoch(
+        pyqg_params=p, q_init=q0, years=0.05, n_ens=1, verbose=False,
+        target_kespec=tgt, spectrum_weight=1.0)
+    assert best2 in (2, 4)
+    std, spec_err = results2[best2]
+    assert std > 0 and _np.isfinite(spec_err) and spec_err >= 0
