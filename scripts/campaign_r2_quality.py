@@ -30,7 +30,7 @@ def log(*a):
 
 
 def train_stage(cfg, op, nx, models, realizations, data_cap=300,
-                transfer_cfg=None):
+                transfer_cfg=None, retain_every=0):
     from pyqg_generative_tpu.models import MODEL_REGISTRY
     from pyqg_generative_tpu.utils import xrlite as xr
 
@@ -82,7 +82,8 @@ def train_stage(cfg, op, nx, models, realizations, data_cap=300,
             t0 = time.time()
             if model_name == "CGANRegression":
                 model = MODEL_REGISTRY[model_name](folder=folder, nx=nx)
-                model.fit(ds_train, ds_val, key=seed, verbose=False)
+                model.fit(ds_train, ds_val, key=seed, verbose=False,
+                          retain_every=retain_every)
             elif model_name == "CVAERegression":
                 model = MODEL_REGISTRY[model_name](folder=folder)
                 model.fit(ds_train, ds_val, key=seed, verbose=False)
@@ -106,8 +107,16 @@ def online_stage(cfg, op, nx, jobs, years=20.0, n_ens=10):
     from pyqg_generative_tpu.models import load_model
     from pyqg_generative_tpu.qg.params import (ANDREW_1000_STEPS,
                                                EDDY_PARAMS, JET_PARAMS, YEAR)
-    from pyqg_generative_tpu.sim import run_ensemble
+    from pyqg_generative_tpu.sim.simulate import run_ensemble_segmented
     from pyqg_generative_tpu.utils import xrlite as xr
+
+    # segmented runner (bit-exact vs run_ensemble, tests/test_sim.py): the
+    # monolithic 86,400-step two-CNN GZ program overruns this environment's
+    # TPU worker (docs/VALIDATION.md round-2 GZ note)
+    def run_ensemble(p, param, n_ens, sampling_freq):
+        return run_ensemble_segmented(p, param, n_ens=n_ens,
+                                      sampling_freq=sampling_freq,
+                                      n_segments=4)
 
     ref_glob = os.path.join(BASE, cfg, "reference_256", "*.npz")
     p0 = (EDDY_PARAMS if cfg == "eddy" else JET_PARAMS).with_nx(nx)
@@ -183,12 +192,16 @@ def main():
                          "parallel stream runs it)")
     ap.add_argument("--transfer-cfg", default=None,
                     help="other configuration for offline transfer tests")
+    ap.add_argument("--retain-every", type=int, default=0,
+                    help="bank GAN generator weights every N epochs for "
+                         "select_stable_epoch")
     args = ap.parse_args()
     cfg, op, nx = args.cfg, args.operator, args.nx
 
     if not args.skip_training:
         train_stage(cfg, op, nx, args.models, args.realizations,
-                    transfer_cfg=args.transfer_cfg)
+                    transfer_cfg=args.transfer_cfg,
+                    retain_every=args.retain_every)
 
     mdir = os.path.join(BASE, cfg, f"models_{op}_{nx}")
     jobs = [] if args.no_lores else \
