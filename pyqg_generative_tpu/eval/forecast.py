@@ -33,6 +33,8 @@ from ..utils import xrlite as xr
 
 __all__ = ["ensemble_skill", "ensemble_spread", "spread_skill_dataset",
            "forecast_skill_table"]
+# (ensemble_skill accepts an independent truth dataset — see its docstring;
+# spread_skill_dataset picks up truth_{n}.npz files automatically)
 
 
 def _ave_lev(arr: np.ndarray, delta: float, axis: int) -> np.ndarray:
@@ -54,12 +56,20 @@ def _reduced_lev_axis(dims) -> int:
 
 
 def ensemble_skill(ds: xr.Dataset, var: str = "q",
-                   delta: float = 0.25) -> np.ndarray:
-    """RMSE(time,) of the ensemble mean vs the verifying member (member-0),
-    depth-weighted, normalized by the verifying member's RMS amplitude so
-    that 1.0 == no skill beyond climatology-free saturation."""
-    truth = ds[var].values
+                   delta: float = 0.25,
+                   ds_truth: xr.Dataset | None = None) -> np.ndarray:
+    """RMSE(time,) of the ensemble mean vs the verifying trajectory,
+    depth-weighted, normalized by the verifier's RMS amplitude so that
+    1.0 == no skill beyond climatology-free saturation.
+
+    Verifier: member-0 (the reference's perfect-model protocol) unless
+    `ds_truth` is given — an independent truth dataset (the coarse-grained
+    256^2 continuation written by exp.pipeline.run_forecast_truth), in
+    which case the skill includes real coarse-model error."""
+    truth = (ds_truth if ds_truth is not None else ds)[var].values
     mean = ds[var + "_mean"].values
+    nt = min(truth.shape[0], mean.shape[0])
+    truth, mean = truth[:nt], mean[:nt]
     err = _space_rms(truth - mean)          # (time, lev)
     amp = _space_rms(truth)
     lev_axis = _reduced_lev_axis(ds[var].dims)
@@ -91,13 +101,24 @@ def spread_skill_dataset(folder: str, var: str = "q", n_ens: int | None = None,
       ratio       — spread * sqrt((M+1)/M) / rmse (1 == reliable), if
                     n_ens (M) is given; else plain spread/rmse.
     """
-    files = sorted(glob.glob(os.path.join(folder, "*.npz")))
+    files = sorted(f for f in glob.glob(os.path.join(folder, "*.npz"))
+                   if not os.path.basename(f).startswith("truth_"))
     if not files:
         raise FileNotFoundError(f"no forecast files in {folder}")
     skills, spreads = [], []
     for path in files:
         ds = xr.Dataset.from_npz(path)
-        skills.append(ensemble_skill(ds, var, delta))
+        # independent truth, if run_forecast_truth wrote one for this IC
+        # (searched next to the forecast and one level up, where the truth
+        # is shared across decorrelation subfolders)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        ds_truth = None
+        for tdir in (folder, os.path.dirname(folder)):
+            tpath = os.path.join(tdir, f"truth_{stem}.npz")
+            if os.path.exists(tpath):
+                ds_truth = xr.Dataset.from_npz(tpath)
+                break
+        skills.append(ensemble_skill(ds, var, delta, ds_truth=ds_truth))
         if var + "_std" in ds:
             spreads.append(ensemble_spread(ds, var, delta))
         # run_forecasting records the member count actually used in the

@@ -197,6 +197,66 @@ def run_forecasting(base: str, model_folder: str | None,
             out.to_npz(os.path.join(folder, f"{number}.npz"))
 
 
+def run_forecast_truth(base: str, ic_glob: str, configuration: str = "eddy",
+                       nx: int = 64, operator: str = "Operator2",
+                       n_ic: int = 15, days: float = 90.0,
+                       subfolder: str = "forecast", truth_nx: int = 256):
+    """Independent verifying truth for the ensemble forecasts: continue the
+    256^2 reference trajectory from each forecast IC for `days` and save the
+    coarse-grained (q, u, v, psi) at daily resolution as
+    {base}/{subfolder}/truth_{number}.npz.
+
+    The reference verifies forecasts against ensemble member 0 (a
+    perfect-model protocol; its truth runs are just more members of the
+    same coarse model). Verifying against the coarse-grained continuation
+    of the *high-resolution* trajectory measures real predictive skill,
+    including coarse-model error. The 256^2 state is re-started from the
+    stored PV snapshot (the AB3 restart transient is a few steps of ~1e-4
+    relative amplitude — negligible over 90 days)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from ..qg.operators import OPERATORS
+    from ..qg.params import DAY
+    op = OPERATORS[operator]
+    p256 = CONFIGURATIONS[configuration].with_nx(truth_nx).replace(
+        tmax=days * DAY, tavestart=days * DAY, precision="single")
+
+    def _run_number(path):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return int(stem) if stem.isdigit() else -1
+
+    by_number = {_run_number(f): f for f in _glob.glob(ic_glob)
+                 if _run_number(f) >= 0}
+    folder = os.path.join(base, subfolder)
+    os.makedirs(folder, exist_ok=True)
+    for number in range(n_ic):
+        out_path = os.path.join(folder, f"truth_{number}.npz")
+        if os.path.exists(out_path):
+            continue
+        run, tsel = (number, -1) if number < 10 else (number - 10, -30)
+        if run not in by_number:
+            continue
+        ic = xr.Dataset.from_npz(by_number[run])
+        q = ic["q"].isel(time=tsel).values
+        if q.ndim == 4:
+            q = q[0]
+        ds = run_ensemble(p256, None, n_ens=1, q_init=np.asarray(q),
+                          sampling_freq=DAY, key=number, with_diags=False)
+        out = xr.Dataset(attrs={"ic_number": number, "operator": operator,
+                                "nx": nx})
+        for var in ("q", "u", "v", "psi"):
+            hi = ds[var].isel(run=0).values  # (time, lev, 256, 256)
+            import jax
+            import jax.numpy as jnp
+            coarse = np.asarray(jax.jit(
+                lambda a: op(a, nx))(jnp.asarray(hi)))
+            out[var] = xr.DataArray(coarse.astype("float32"),
+                                    ("time", "lev", "y", "x"))
+        out.to_npz(out_path)
+
+
 def train_ANN(base: str, configurations=("eddy", "jet"),
               resolutions=(48, 96), operator: str = "Operator2",
               folder_name: str = "ann_model", fit_kw=None):

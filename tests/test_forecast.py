@@ -96,3 +96,46 @@ def test_forecast_initial_conditions_recipe(tmp_path):
     assert np.allclose(ics[0], np.asarray(Operator2(runs[0][-1], 16)))
     assert np.allclose(ics[11], np.asarray(Operator2(runs[1][-30], 16)))
     assert ics[0].shape == (2, 16, 16)
+
+
+def test_ensemble_skill_vs_independent_truth():
+    """With ds_truth given, the skill verifies against the independent
+    trajectory, not member-0 (VERDICT round-2 weak #6)."""
+    ds = _synthetic_forecast(3, err_scale=0.0)  # mean == member-0 exactly
+    truth = xr.Dataset()
+    truth["q"] = xr.DataArray(ds["q"].values * 1.2, ("time", "lev", "y", "x"))
+    # vs member-0 the error is 0; vs truth it is |1 - 1/1.2| of truth RMS
+    assert np.allclose(fc.ensemble_skill(ds, "q", DELTA), 0.0)
+    skill = fc.ensemble_skill(ds, "q", DELTA, ds_truth=truth)
+    assert np.all(skill > 0.1)
+
+
+def test_run_forecast_truth_and_skill(tmp_path):
+    """run_forecast_truth continues the trajectory at truth_nx, coarse-
+    grains to nx, and spread_skill_dataset auto-detects the truth files."""
+    from pyqg_generative_tpu.exp.pipeline import (run_forecast_truth,
+                                                  run_forecasting)
+    from pyqg_generative_tpu.qg.params import EDDY_PARAMS, DAY
+    from pyqg_generative_tpu.sim import run_ensemble
+
+    base = str(tmp_path)
+    # one tiny 'reference' run at 64^2 standing in for the 256^2 DNS
+    p = EDDY_PARAMS.with_nx(64).replace(tmax=2 * DAY, tavestart=2 * DAY,
+                                        precision="single")
+    ds0 = run_ensemble(p, None, n_ens=1, key=5, with_diags=False,
+                       sampling_freq=DAY)
+    ds0.isel(run=0).to_npz(f"{base}/0.npz")
+
+    run_forecasting(base, None, f"{base}/[0-9].npz", "eddy", nx=32,
+                    n_ic=1, n_ens=3, decorrelations=(0,), days=2.0,
+                    operator="Operator2")
+    run_forecast_truth(base, f"{base}/[0-9].npz", "eddy", nx=32,
+                       operator="Operator2", n_ic=1, days=2.0,
+                       subfolder="forecast/decorrelation-0h", truth_nx=64)
+    folder = f"{base}/forecast/decorrelation-0h"
+    import os
+    assert os.path.exists(f"{folder}/truth_0.npz")
+    sk = fc.spread_skill_dataset(folder, "q")
+    # coarse-model error vs the 64^2 truth is nonzero from day 1
+    assert np.all(sk["rmse"].values > 0)
+    assert np.isfinite(sk["rmse"].values).all()
