@@ -34,16 +34,29 @@ def main():
     ap.add_argument("--decorrelations", type=int, nargs="+",
                     default=[0, 12, 24, 36, 48])
     ap.add_argument("--out-base", default=None)
+    ap.add_argument("--truth", action="store_true",
+                    help="also run the 256^2 truth continuations for "
+                         "independent-truth verification")
     args = ap.parse_args()
 
     from pyqg_generative_tpu.eval.forecast import forecast_skill_table
-    from pyqg_generative_tpu.exp.pipeline import run_forecasting
+    from pyqg_generative_tpu.exp.pipeline import (run_forecast_truth,
+                                                  run_forecasting)
 
     out_base = args.out_base or os.path.join(
         BASE, args.cfg, f"forecast_{os.path.basename(args.model)}")
     ic_glob = os.path.join(BASE, args.cfg, "reference_256", "*.npz")
 
     t0 = time.time()
+    if args.truth:
+        # independent verifying truth: continue the 256^2 trajectory from
+        # each IC and coarse-grain (shared across decorrelation subfolders;
+        # spread_skill_dataset auto-detects truth_{n}.npz one level up)
+        run_forecast_truth(out_base, ic_glob, configuration=args.cfg,
+                           nx=args.nx, operator=args.operator,
+                           n_ic=args.n_ic, days=args.days)
+        print(f"[{time.strftime('%H:%M:%S')}] truth continuations done "
+              f"({time.time() - t0:.0f}s)", flush=True)
     for dec in args.decorrelations:
         folder = os.path.join(out_base, "forecast", f"decorrelation-{dec}h")
         if os.path.isdir(folder) and \
