@@ -111,7 +111,68 @@ def _conv_out(act, w, K, cin, cout, H, W, cdtype, col):
     return acc
 
 
-def _make_kernel(meta, H, W, compute_dtype, final_relu):
+def pack_folded_params_dx(folded: dict, compute_dtype=jnp.bfloat16):
+    """dx-major packing for the roll-input kernel variant: per layer a
+    (K*cin, K*cout) matrix whose row block j_dx holds the (cin, K*cout)
+    matmul operand for column shift dx, with the K dy-taps packed into
+    output-column blocks. Shares bias/meta conventions with
+    pack_folded_params."""
+    params = folded["params"]
+    n = len([k for k in params if k.startswith("Conv_")])
+    weights, biases, meta = [], [], []
+    for i in range(n):
+        k = np.asarray(params[f"Conv_{i}"]["kernel"])  # (K, K, cin, cout)
+        b = np.asarray(params[f"Conv_{i}"].get("bias",
+                                               np.zeros(k.shape[-1])))
+        K, K2, cin, cout = k.shape
+        assert K == K2, "square kernels only"
+        w = np.zeros((K * cin, K * cout), k.dtype)
+        for jdx in range(K):       # kernel index along x (dx = jdx - K//2)
+            for jdy in range(K):   # kernel index along y
+                w[jdx * cin:(jdx + 1) * cin,
+                  jdy * cout:(jdy + 1) * cout] = k[jdy, jdx]
+        weights.append(jnp.asarray(w, compute_dtype))
+        biases.append(jnp.asarray(b.reshape(1, cout), jnp.float32))
+        meta.append((K, cin, cout))
+    return weights, biases, tuple(meta)
+
+
+def _conv_dx(act, w, K, cin, cout, H, W, cdtype, col):
+    """Roll-input path: K patched circular shifts of the INPUT (one per
+    column offset dx, done in compute_dtype so bf16 halves the VPU bytes),
+    one wide matmul per dx with all K dy-taps packed into output columns
+    (MXU sees width K*cout instead of cout), a full-width sum over dx, then
+    K *clean* row-rolls (multiples of W in the flattened layout need no
+    wrap patch) of the dy column blocks. Replaces the K^2 patched output
+    rolls of _conv_out with K patched + K clean rolls."""
+    c = K // 2
+    M = H * W
+    xb = act.astype(cdtype)
+    z = None
+    for jdx, dx in enumerate(range(-c, K - c)):
+        # xs[h, w] = x[h, w + dx]  (a = 0, b = -dx in _flat_roll2d terms)
+        b = (-dx) % W
+        if b == 0:
+            xs = xb
+        else:
+            x0 = pltpu.roll(xb, b, axis=0)
+            x1 = pltpu.roll(xb, (b - W) % M, axis=0)
+            xs = jnp.where(col[:, :cin] < b, x1, x0)
+        y = jax.lax.dot_general(
+            xs, w[jdx * cin:(jdx + 1) * cin, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (M, K*cout)
+        z = y if z is None else z + y
+    acc = None
+    for jdy, dy in enumerate(range(-c, K - c)):
+        blk = z[:, jdy * cout:(jdy + 1) * cout]
+        r = ((-dy) * W) % M
+        zb = pltpu.roll(blk, r, axis=0) if r else blk
+        acc = zb if acc is None else acc + zb
+    return acc
+
+
+def _make_kernel(meta, H, W, compute_dtype, final_relu, variant="tap"):
     n = len(meta)
 
     def kernel(x_ref, *refs):
@@ -121,9 +182,14 @@ def _make_kernel(meta, H, W, compute_dtype, final_relu):
         act = x_ref[:].reshape(H * W, meta[0][1]).astype(jnp.float32)
         col = jax.lax.broadcasted_iota(
             jnp.int32, (H * W, 128), 0) % W
+        conv = _conv_dx if variant == "dx" else _conv_out
         for i, (K, cin, cout) in enumerate(meta):
-            act = _conv_out(act, w_refs[i][:], K, cin, cout, H, W,
-                            compute_dtype, col[:, :cout])
+            if variant == "dx":
+                act = conv(act, w_refs[i][:], K, cin, cout, H, W,
+                           compute_dtype, col)
+            else:
+                act = conv(act, w_refs[i][:], K, cin, cout, H, W,
+                           compute_dtype, col[:, :cout])
             act = act + b_refs[i][:]
             if i < n - 1 or final_relu:
                 act = jnp.maximum(act, 0.0)
@@ -133,12 +199,12 @@ def _make_kernel(meta, H, W, compute_dtype, final_relu):
 
 
 @partial(jax.jit, static_argnames=("meta", "compute_dtype", "interpret",
-                                   "final_relu"))
+                                   "final_relu", "variant"))
 def _fused_call(x, weights, biases, meta, compute_dtype, interpret,
-                final_relu=False):
+                final_relu=False, variant="tap"):
     H, W = x.shape[0], x.shape[1]
     n_out = meta[-1][2]
-    kernel = _make_kernel(meta, H, W, compute_dtype, final_relu)
+    kernel = _make_kernel(meta, H, W, compute_dtype, final_relu, variant)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W, n_out), jnp.float32),
@@ -151,16 +217,20 @@ def _fused_call(x, weights, biases, meta, compute_dtype, interpret,
 
 
 def fused_cnn_forward(x, weights, biases, meta,
-                      compute_dtype=jnp.bfloat16, interpret=False):
+                      compute_dtype=jnp.bfloat16, interpret=False,
+                      variant="tap"):
     """Run the fused CNN on x of shape (H, W, Cin) (single sample) or
     (B, H, W, Cin) (vmapped into the pallas grid). Returns float32
-    (..., H, W, n_out)."""
+    (..., H, W, n_out). `variant`: 'tap' (per-tap output rolls, weights
+    from pack_folded_params) or 'dx' (roll-input, weights from
+    pack_folded_params_dx)."""
     dt = jnp.dtype(compute_dtype).name  # hashable static arg
     if x.ndim == 4:
         return jax.vmap(
             lambda xx: _fused_call(xx, weights, biases, meta,
-                                   dt, interpret))(x)
-    return _fused_call(x, weights, biases, meta, dt, interpret)
+                                   dt, interpret, variant=variant))(x)
+    return _fused_call(x, weights, biases, meta, dt, interpret,
+                       variant=variant)
 
 
 def _make_packed_kernel(meta, H, W, B, compute_dtype):
@@ -235,21 +305,29 @@ def _fused_call_packed(x, weights, biases_packed, meta, B, compute_dtype,
 
 
 def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
-                    interpret: bool = False):
+                    interpret: bool = False, variant: str = "packed"):
     """Build the online forward for a BN-folded AndrewCNN: the 4-channel
     first layer runs as an XLA circular conv (~5% of the FLOPs; its tiny
     contraction dim suits neither the MXU slicing nor lane-concat), layers
-    2..n run in the member-packed fused pallas kernel (all batch members in
-    the lane dimension — full VPU width). Returns apply(x) for x of shape
-    (H, W, Cin) or (B, H, W, Cin), producing float32 (..., H, W, n_out).
-    Each distinct batch size compiles its own kernel."""
+    2..n run in a fused pallas kernel. `variant`:
+
+    * 'packed' — member-packed lanes, one program for the whole batch;
+    * 'tap'    — per-member programs (vmap -> grid), per-tap output rolls;
+    * 'dx'     — per-member programs, roll-input + dx-packed matmuls
+                 (K patched + K clean rolls per layer instead of K^2
+                 patched; K-times-wider MXU results).
+
+    Returns apply(x) for x of shape (H, W, Cin) or (B, H, W, Cin),
+    producing float32 (..., H, W, n_out). Each distinct batch size compiles
+    its own kernel."""
     params = folded["params"]
     k0 = jnp.asarray(np.asarray(params["Conv_0"]["kernel"]), jnp.float32)
     b0 = jnp.asarray(np.asarray(params["Conv_0"]["bias"]), jnp.float32)
     K0 = k0.shape[0]
     rest = {"params": {f"Conv_{i - 1}": params[f"Conv_{i}"]
                        for i in range(1, len(params))}}
-    weights, biases, meta = pack_folded_params(rest, compute_dtype)
+    pack = pack_folded_params_dx if variant == "dx" else pack_folded_params
+    weights, biases, meta = pack(rest, compute_dtype)
     dt = jnp.dtype(compute_dtype).name
     n_out = meta[-1][2]
 
@@ -268,14 +346,19 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
             x = x[None]
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
         act = first_layer(x.astype(jnp.float32))
-        # (B, H, W, C) -> member-packed (H*W, B*C)
-        packed = act.reshape(B, H * W, -1).transpose(1, 0, 2) \
-            .reshape(H * W, -1)
-        bp = tuple(jnp.tile(b, (1, B)) for b in biases)
-        out = _fused_call_packed(packed, weights, bp, meta, B, dt,
-                                 interpret)
-        out = out.reshape(H * W, B, n_out).transpose(1, 0, 2) \
-            .reshape(B, H, W, n_out)
+        if variant in ("tap", "dx"):
+            out = jax.vmap(
+                lambda xx: _fused_call(xx, weights, biases, meta, dt,
+                                       interpret, variant=variant))(act)
+        else:
+            # (B, H, W, C) -> member-packed (H*W, B*C)
+            packed = act.reshape(B, H * W, -1).transpose(1, 0, 2) \
+                .reshape(H * W, -1)
+            bp = tuple(jnp.tile(b, (1, B)) for b in biases)
+            out = _fused_call_packed(packed, weights, bp, meta, B, dt,
+                                     interpret)
+            out = out.reshape(H * W, B, n_out).transpose(1, 0, 2) \
+                .reshape(B, H, W, n_out)
         return out[0] if squeeze else out
 
     return apply

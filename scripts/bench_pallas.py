@@ -55,11 +55,21 @@ y_ref = jax.jit(xla_apply)(x)
 print(f"XLA f32 conv: {t_xla*1e6:.0f} us / {B}x{NX}^2 batch")
 
 from pyqg_generative_tpu.ml.pallas_conv import make_online_cnn
-for dt in (jnp.float32, jnp.bfloat16):
-    apply = make_online_cnn(folded, compute_dtype=dt)
-    t, _ = timeit(scanned(apply), x)
-    y = jax.jit(apply)(x)
-    rel = np.sqrt(np.mean((np.asarray(y) - np.asarray(y_ref))**2)) / \
-        np.sqrt(np.mean(np.asarray(y_ref)**2))
-    print(f"pallas(+xla L1) {jnp.dtype(dt).name}: {t*1e6:.0f} us "
-          f"(x{t_xla/t:.2f} vs XLA), rel RMS err {rel:.2e}")
+variants = sys.argv[3].split(",") if len(sys.argv) > 3 else \
+    ("packed", "tap", "dx")
+for variant in variants:
+    for dt in (jnp.float32, jnp.bfloat16):
+        try:
+            apply = make_online_cnn(folded, compute_dtype=dt,
+                                    variant=variant)
+            t, _ = timeit(scanned(apply), x)
+            y = jax.jit(apply)(x)
+        except Exception as e:
+            print(f"pallas[{variant}] {jnp.dtype(dt).name}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})")
+            continue
+        rel = np.sqrt(np.mean((np.asarray(y) - np.asarray(y_ref))**2)) / \
+            np.sqrt(np.mean(np.asarray(y_ref)**2))
+        print(f"pallas[{variant}](+xla L1) {jnp.dtype(dt).name}: "
+              f"{t*1e6:.0f} us (x{t_xla/t:.2f} vs XLA), "
+              f"rel RMS err {rel:.2e}")

@@ -76,6 +76,35 @@ def test_fused_kernel_bf16_statistical(net_and_params):
     assert rel < 0.02, rel
 
 
+def test_fused_kernel_dx_variant_f32(net_and_params):
+    """Roll-input (dx-packed) kernel variant is exact vs the XLA path."""
+    from pyqg_generative_tpu.ml.pallas_conv import pack_folded_params_dx
+    net_eval, _, folded = net_and_params
+    w, b, meta = pack_folded_params_dx(folded, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, NX, NX, 4),
+                          jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x))
+    out = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                       compute_dtype=jnp.float32,
+                                       interpret=True, variant="dx"))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5 * np.abs(
+        ref).max())
+
+
+def test_make_online_cnn_dx(net_and_params):
+    """Production dx path (XLA layer-1 + dx pallas kernel) matches flax."""
+    from pyqg_generative_tpu.ml.pallas_conv import make_online_cnn
+    net_eval, _, folded = net_and_params
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, NX, NX, 4),
+                          jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x))
+    apply = make_online_cnn(folded, compute_dtype=jnp.float32,
+                            interpret=True, variant="dx")
+    out = np.asarray(apply(x))
+    np.testing.assert_allclose(out, ref, rtol=2e-4,
+                               atol=2e-5 * np.abs(ref).max())
+
+
 def test_fold_then_pack_consistency(net_and_params):
     """Folded XLA path itself matches the BN eval path (guards the whole
     pallas input contract)."""
