@@ -97,7 +97,7 @@ def test_forecast_pipeline_stage(tmp_path):
     from pyqg_generative_tpu.exp.pipeline import run_forecasting
     # build an IC file from a short run
     ic = run_simulation(P, sampling_freq=10 * 14400.0, with_diags=False)
-    ic_path = str(tmp_path / "ic0.npz")
+    ic_path = str(tmp_path / "0.npz")  # ICs resolve by run number
     ic.to_npz(ic_path)
     run_forecasting(str(tmp_path), None, ic_path, nx=32, n_ic=1, n_ens=2,
                     decorrelations=(0,), days=2.0)
