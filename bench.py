@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--model-folder",
                     default="/root/repo/trained_models/eddy_gan_64")
+    ap.add_argument("--backend", default="xla",
+                    help="online generator backend: 'xla' (default), or "
+                         "'pallas:packed'/'pallas:tap'/'pallas:dx' for the "
+                         "fused VMEM-resident kernels (ml.pallas_conv)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -57,6 +61,11 @@ def main():
     else:
         model = _untrained_gan(args.nx)
         model_note = "untrained (same FLOPs)"
+    if args.backend.startswith("pallas"):
+        model.online_backend = "pallas"
+        model.online_variant = (args.backend.split(":", 1) + ["packed"])[1]
+        model._pallas_cache = None
+        model_note += f" [{args.backend}]"
 
     n_snaps = max(1, args.steps // args.snap_every)
     steps_per_snap = args.snap_every

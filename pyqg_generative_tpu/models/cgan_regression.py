@@ -46,12 +46,16 @@ class CGANRegression(Parameterization):
                  div: bool = False,
                  hidden_channels=(128, 64, 32, 32, 32, 32, 32),
                  inference_dtype: str = "float32",
-                 online_backend: str = "xla"):
+                 online_backend: str = "xla",
+                 online_variant: str = "packed"):
         self.folder = folder
         # 'xla' (default) or 'pallas': the fused VMEM-resident kernel for
         # the online generator (ml.pallas_conv; exactness-tested, measured
-        # ~1.1x the XLA conv path at 10x64^2 on v5e — see docs/ROADMAP.md)
+        # ~1.1x the XLA conv path at 10x64^2 on v5e — see docs/ROADMAP.md).
+        # online_variant picks the pallas kernel strategy
+        # ('packed'/'tap'/'dx' — ml.pallas_conv.make_online_cnn).
         self.online_backend = online_backend
+        self.online_variant = online_variant
         self._pallas_cache = None
         self.regression = regression
         self.generator = generator
@@ -294,7 +298,8 @@ class CGANRegression(Parameterization):
                 interp = jax.default_backend() == "cpu"
                 self._pallas_cache = (
                     ov, make_online_cnn(ov, compute_dtype=self._infer_dtype,
-                                        interpret=interp))
+                                        interpret=interp,
+                                        variant=self.online_variant))
             y = self._pallas_cache[1](xin)
         else:
             # folded vars pair with the bn-less G_online module. (A
