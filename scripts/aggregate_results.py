@@ -87,6 +87,42 @@ def online_tables():
             print(f"| {f} | {d:.3f} / {s:.3f} ({k}) | {pubs} |")
 
 
+def breadth_table():
+    """One row per (operator, resolution, model, subfolder) across the whole
+    reference online matrix ({48,64,96} x {Operator1,Operator2} — reference
+    scripts/run_parameterized.py:38-44)."""
+    print("\n### Breadth matrix — eddy online scores by operator x "
+          "resolution\n")
+    print("| operator | nx | run | distrib | spectral |")
+    print("|---|---|---|---|---|")
+    for op in ("Operator1", "Operator2"):
+        for nx in (48, 64, 96):
+            rows = {}
+            for f in glob.glob(os.path.join(
+                    BASE, "eddy", f"models_{op}_{nx}", "*",
+                    "metrics_*.json")):
+                model = os.path.basename(os.path.dirname(f))
+                sub = os.path.basename(f)[len("metrics_"):-len(".json")]
+                try:
+                    rows[f"{model}/{sub}"] = json.load(open(f))
+                except Exception:
+                    pass
+            for f in glob.glob(os.path.join(BASE, "eddy", f"lores_{nx}",
+                                            f"metrics_*{op}*.json")) + \
+                    (glob.glob(os.path.join(BASE, "eddy", f"lores_{nx}",
+                                            "metrics_eddy-none-0.json"))
+                     if op == "Operator2" else []):
+                sub = os.path.basename(f)[len("metrics_"):-len(".json")]
+                try:
+                    rows[f"lores/{sub}"] = json.load(open(f))
+                except Exception:
+                    pass
+            for k, v in sorted(rows.items(),
+                               key=lambda kv: kv[1]["distrib_score"]):
+                print(f"| {op} | {nx} | {k} | {v['distrib_score']:.3f} | "
+                      f"{v['spectral_score']:.3f} |")
+
+
 def offline_tables():
     from pyqg_generative_tpu.utils import xrlite as xr
     rows = []
@@ -146,5 +182,6 @@ def forecast_tables():
 
 if __name__ == "__main__":
     online_tables()
+    breadth_table()
     offline_tables()
     forecast_tables()
