@@ -158,7 +158,7 @@ def run_forecasting(base: str, model_folder: str | None,
                     nx: int = 64, n_ic: int = 15, n_ens: int = 15,
                     decorrelations=(0, 12, 24, 36, 48), days: float = 90.0,
                     sampling: str = "AR1", operator: str = "Operator2",
-                    subfolder: str = "forecast"):
+                    subfolder: str = "forecast", epoch: str = "final"):
     """Ensemble forecasts: n_ic initial conditions x n_ens members x
     noise-decorrelation times, saving member-0, the ensemble mean, and the
     ensemble std of (q, u, v, psi) at daily resolution
@@ -171,6 +171,15 @@ def run_forecasting(base: str, model_folder: str | None,
     p0 = CONFIGURATIONS[configuration].with_nx(nx)
     p = p0.replace(tmax=days * DAY, tavestart=days * DAY)
     model = load_model(model_folder) if model_folder else None
+    if model is not None and epoch != "final":
+        # generator-epoch selection: offline-optimal (G_opt.msgpack) or
+        # online-stability-selected (G_stable.msgpack) weights
+        ok = {"opt": getattr(model, "use_optimal_epoch", lambda: False),
+              "stable": getattr(model, "use_stable_epoch", lambda: False),
+              }[epoch]()
+        if not ok:
+            raise FileNotFoundError(
+                f"no banked '{epoch}' generator weights in {model_folder}")
     ics = list(forecast_initial_conditions(ic_glob, nx, operator, n_ic))
     for dec in decorrelations:
         nsteps = max(1, int(round(dec * 3600.0 / p.dt)))

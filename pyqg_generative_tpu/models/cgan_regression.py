@@ -153,10 +153,7 @@ class CGANRegression(Parameterization):
             return True
         return False
 
-    def use_optimal_epoch(self) -> bool:
-        """Switch the generator to the best-offline-loss epoch weights
-        (G_opt.msgpack) if they were saved during training."""
-        path = f"{self.folder}/G_opt.msgpack"
+    def _load_generator_file(self, path: str) -> bool:
         if not os.path.exists(path):
             return False
         key = jax.random.PRNGKey(0)
@@ -168,6 +165,16 @@ class CGANRegression(Parameterization):
         if hasattr(self, "_fold_cache"):
             self._fold_cache = None
         return True
+
+    def use_optimal_epoch(self) -> bool:
+        """Switch the generator to the best-offline-loss epoch weights
+        (G_opt.msgpack) if they were saved during training."""
+        return self._load_generator_file(f"{self.folder}/G_opt.msgpack")
+
+    def use_stable_epoch(self) -> bool:
+        """Switch the generator to the online-stability-selected epoch
+        weights (G_stable.msgpack, written by select_stable_epoch)."""
+        return self._load_generator_file(f"{self.folder}/G_stable.msgpack")
 
     def select_stable_epoch(self, pyqg_params=None, q_init=None,
                             years: float = 3.0, n_ens: int = 2,

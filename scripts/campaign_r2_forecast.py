@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--truth", action="store_true",
                     help="also run the 256^2 truth continuations for "
                          "independent-truth verification")
+    ap.add_argument("--epoch", default="final",
+                    choices=["final", "opt", "stable"],
+                    help="generator weights to forecast with")
     args = ap.parse_args()
 
     from pyqg_generative_tpu.eval.forecast import forecast_skill_table
@@ -66,7 +69,7 @@ def main():
                         configuration=args.cfg, nx=args.nx,
                         n_ic=args.n_ic, n_ens=args.n_ens,
                         decorrelations=(dec,), days=args.days,
-                        operator=args.operator)
+                        operator=args.operator, epoch=args.epoch)
         print(f"[{time.strftime('%H:%M:%S')}] decorrelation {dec}h done "
               f"({time.time() - t0:.0f}s)", flush=True)
 

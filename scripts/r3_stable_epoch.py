@@ -64,18 +64,26 @@ def main():
 
     for folder in args.models:
         model = load_model(folder)
-        t0 = time.time()
-        best, results = model.select_stable_epoch(
-            pyqg_params=p.replace(tmax=args.probe_years * YEAR,
-                                  tavestart=0.5 * args.probe_years * YEAR),
-            q_init=q_init, target_std=target_std, target_kespec=kespec)
-        log(f"{folder}: stable epoch {best} "
-            f"({(time.time() - t0) / 60:.1f} min probe)")
-        with open(os.path.join(folder, "stable_epoch.json"), "w") as f:
-            json.dump({"best": best,
-                       "probe": {str(k): v for k, v in results.items()}}, f)
-        if best is None:
-            continue
+        if os.path.exists(os.path.join(folder, "G_stable.msgpack")):
+            # probe already ran (restart): reuse the selected weights
+            model.use_stable_epoch()
+            best = "saved"
+            log(f"{folder}: reusing saved G_stable.msgpack")
+        else:
+            t0 = time.time()
+            best, results = model.select_stable_epoch(
+                pyqg_params=p.replace(
+                    tmax=args.probe_years * YEAR,
+                    tavestart=0.5 * args.probe_years * YEAR),
+                q_init=q_init, target_std=target_std, target_kespec=kespec)
+            log(f"{folder}: stable epoch {best} "
+                f"({(time.time() - t0) / 60:.1f} min probe)")
+            with open(os.path.join(folder, "stable_epoch.json"), "w") as f:
+                json.dump({"best": best,
+                           "probe": {str(k): v for k, v in results.items()}},
+                          f)
+            if best is None:
+                continue
         sub = f"{args.cfg}-constant-0-stable"
         metr = os.path.join(folder, f"metrics_{sub}.json")
         if os.path.exists(metr):

@@ -110,6 +110,21 @@ def test_ensemble_skill_vs_independent_truth():
     assert np.all(skill > 0.1)
 
 
+def test_run_forecasting_epoch_guard(tmp_path, monkeypatch):
+    """epoch='opt'/'stable' raises when the model has no banked weights,
+    instead of silently forecasting with the final epoch."""
+    import pytest
+    from pyqg_generative_tpu.exp import pipeline
+
+    class NoBank:
+        pass
+
+    monkeypatch.setattr(pipeline, "load_model", lambda f: NoBank())
+    with pytest.raises(FileNotFoundError, match="stable"):
+        pipeline.run_forecasting(str(tmp_path), "some/folder", "*.npz",
+                                 epoch="stable")
+
+
 def test_run_forecast_truth_and_skill(tmp_path):
     """run_forecast_truth continues the trajectory at truth_nx, coarse-
     grains to nx, and spread_skill_dataset auto-detects the truth files."""

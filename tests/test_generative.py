@@ -194,3 +194,13 @@ def test_gan_epoch_bank_and_stable_selection(tmp_path, ds_pair):
     assert best2 in (2, 4)
     std, spec_err = results2[best2]
     assert std > 0 and _np.isfinite(spec_err) and spec_err >= 0
+
+    # a fresh model instance can reload the selected weights from disk
+    m2 = CGANRegression(nx=NX, folder=folder, **SMALL)
+    assert m2.use_stable_epoch()
+    sel = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, m.vars_G["params"]))
+    re = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, m2.vars_G["params"]))
+    for a, b in zip(sel, re):
+        np.testing.assert_array_equal(a, b)
