@@ -7,6 +7,15 @@ cd /root/repo
 LOGS=data_r2/logs
 stamp() { echo "[$(date +%H:%M:%S)] $*"; }
 
+# VAE on Operator1 x 48: the published VAE was trained on sharp-operator
+# data (round-3 weight-port discovery); give the in-framework VAE the same
+# pairing (2 realizations, online-scored final+opt)
+timeout 14400 python -u scripts/campaign_r2_quality.py \
+    --cfg eddy --operator Operator1 --nx 48 --realizations 2 \
+    --models CVAERegression --no-sweep --no-lores \
+    > "$LOGS/r3_vae_op1.log" 2>&1
+stamp "VAE Operator1x48 exit=$?"
+
 # Operator2 x 96 (GZ + 1 GAN seed; 100 forcing runs on disk)
 timeout 14400 python -u scripts/campaign_r2_quality.py \
     --cfg eddy --operator Operator2 --nx 96 --realizations 1 \
