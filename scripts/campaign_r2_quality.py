@@ -99,6 +99,43 @@ def train_stage(cfg, op, nx, models, realizations, data_cap=300,
                 f"L2_total={float(off['L2_total'].values):.3f}")
 
 
+def online_stage_isolated(cfg, op, nx, jobs, years=20.0, n_ens=10,
+                          segments=4):
+    """Subprocess-per-job online stage: an axon TPU-worker crash
+    (JaxRuntimeError UNAVAILABLE) poisons the whole client process, so an
+    in-process loop loses every remaining job when one long scan trips the
+    runtime. Each job runs scripts/r3_online_score.py in its own process;
+    a crash costs that one job and the loop continues."""
+    import subprocess
+
+    results = {}
+    script = os.path.join(os.path.dirname(__file__), "r3_online_score.py")
+    for model_folder, subfolder, sampling, nsteps, use_opt in jobs:
+        out_dir = os.path.join(BASE, cfg, f"lores_{nx}") \
+            if model_folder == "lores" else model_folder
+        metr_file = os.path.join(out_dir, f"metrics_{subfolder}.json")
+        if not os.path.exists(metr_file):
+            dt = 7200.0 if nx == 48 else None
+            cmd = [sys.executable, "-u", script, "--model", model_folder,
+                   "--cfg", cfg, "--operator", op, "--nx", str(nx),
+                   "--years", str(years), "--n-ens", str(n_ens),
+                   "--segments", str(segments), "--sampling", sampling,
+                   "--nsteps", str(nsteps), "--sub", subfolder,
+                   "--epoch", "opt" if use_opt else "final"]
+            if dt is not None:
+                cmd += ["--dt", str(dt)]
+            rc = subprocess.run(cmd, timeout=7200).returncode
+            if rc != 0:
+                log(f"job {model_folder}/{subfolder} failed rc={rc} "
+                    f"— continuing")
+                continue
+        if os.path.exists(metr_file):
+            with open(metr_file) as f:
+                results[f"{os.path.basename(model_folder)}/{subfolder}"] = \
+                    json.load(f)
+    return results
+
+
 def online_stage(cfg, op, nx, jobs, years=20.0, n_ens=10):
     """jobs: list of (model_folder, subfolder, sampling, nsteps,
     use_optimal)."""
@@ -192,6 +229,9 @@ def main():
                          "parallel stream runs it)")
     ap.add_argument("--transfer-cfg", default=None,
                     help="other configuration for offline transfer tests")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run online jobs in-process instead of one "
+                         "subprocess per job (crash isolation)")
     ap.add_argument("--retain-every", type=int, default=0,
                     help="bank GAN generator weights every N epochs for "
                          "select_stable_epoch")
@@ -221,7 +261,8 @@ def main():
         if os.path.exists(os.path.join(f, "model_args.json")):
             jobs.append((f, f"{cfg}-constant-0", "constant", 1, False))
 
-    results = online_stage(cfg, op, nx, jobs)
+    stage = online_stage if args.no_isolate else online_stage_isolated
+    results = stage(cfg, op, nx, jobs)
 
     # decorrelation sweep on the best GAN realization
     if args.no_sweep:
@@ -245,7 +286,7 @@ def main():
             nsteps = max(1, int(round(dec * 3600.0 / dt)))
             sweep.append((f, f"{cfg}-AR1-{dec}" + ("-opt" if use_opt else ""),
                           "AR1", nsteps, use_opt))
-        results.update(online_stage(cfg, op, nx, sweep))
+        results.update(stage(cfg, op, nx, sweep))
 
     out = os.path.join(BASE, cfg, f"quality_{op}_{nx}.json")
     with open(out, "w") as fh:

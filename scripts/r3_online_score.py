@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--cfg", default="eddy")
     ap.add_argument("--operator", default="Operator2")
     ap.add_argument("--nx", type=int, default=48)
-    ap.add_argument("--dt", type=float, default=7200.0)
+    ap.add_argument("--dt", type=float, default=None,
+                    help="override the resolution dt-table value")
     ap.add_argument("--years", type=float, default=20.0)
     ap.add_argument("--n-ens", type=int, default=10)
     ap.add_argument("--segments", type=int, default=4)
@@ -51,8 +52,9 @@ def main():
 
     ref_glob = os.path.join(BASE, args.cfg, "reference_256", "*.npz")
     p = CONFIGURATIONS[args.cfg].with_nx(args.nx).replace(
-        tmax=args.years * YEAR, tavestart=5 * YEAR, dt=args.dt,
-        precision="single")
+        tmax=args.years * YEAR, tavestart=5 * YEAR, precision="single")
+    if args.dt is not None:
+        p = p.replace(dt=args.dt)
 
     if args.model == "lores":
         mdir = os.path.join(BASE, args.cfg, f"lores_{args.nx}")
