@@ -36,4 +36,17 @@ timeout 7200 python -u scripts/campaign_r2_quality.py \
     > "$LOGS/r3_op1_96.log" 2>&1
 stamp "Operator1x96 GZ exit=$?"
 
+# GZ (two-CNN) online programs intermittently crash the axon TPU worker at
+# larger grids / under co-tenancy; the isolated campaign stages skip the
+# failed cell. Idempotent solo retries with finer segmentation:
+for cell in "Operator2 64" "Operator1 64" "Operator2 96" "Operator1 96"; do
+    set -- $cell
+    model="data_r2/eddy/models_$1_$2/MeanVarModel-0"
+    [ -d "$model" ] || continue
+    timeout 5400 python -u scripts/r3_online_score.py \
+        --model "$model" --operator "$1" --nx "$2" --segments 12 \
+        --sub eddy-constant-0 >> "$LOGS/r3_gz_retries.log" 2>&1
+    stamp "GZ retry $1 x $2 exit=$?"
+done
+
 stamp "phase 2 done"
