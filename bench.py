@@ -25,10 +25,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--model-folder",
                     default="/root/repo/trained_models/eddy_gan_64")
-    ap.add_argument("--backend", default="xla",
-                    help="online generator backend: 'xla' (default), or "
-                         "'pallas:packed'/'pallas:tap'/'pallas:dx' for the "
-                         "fused VMEM-resident kernels (ml.pallas_conv)")
+    ap.add_argument("--backend", default="pallas:dx",
+                    help="online generator backend: 'pallas:dx' (default — "
+                         "the fused roll-input VMEM-resident kernel, 2.0x "
+                         "the XLA conv path on v5e), 'pallas:tap', "
+                         "'pallas:packed', or 'xla' (the flax/XLA path "
+                         "used for quality validation; steps/s is "
+                         "dt-independent so the 64^2 dt-table run compares "
+                         "directly with the published 48^2/dt=7200 anchor)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -105,11 +109,16 @@ def main():
                              BASELINE_MEMBER_STEPS_PER_S, 2),
     }
     print(json.dumps(result))
+    path_note = ("BN-folded float32 online path — the same path scored in "
+                 "docs/VALIDATION.md"
+                 if args.backend == "xla" else
+                 "fused Pallas kernel (bf16 matmuls, f32 accumulation; "
+                 "exactness-tested vs the XLA path in "
+                 "tests/test_pallas_conv.py)")
     print(f"# wall {dt_wall:.2f}s for {args.members} members x "
           f"{total_steps} steps at {args.nx}^2 "
           f"(~{sim_years_per_day:,.0f} member-sim-years/day); "
-          f"model={model_note}; BN-folded float32 online path — the same "
-          f"path scored in docs/VALIDATION.md; devices={jax.devices()}",
+          f"model={model_note}; {path_note}; devices={jax.devices()}",
           file=sys.stderr)
 
 
