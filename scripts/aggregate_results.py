@@ -109,6 +109,9 @@ def breadth_table():
                     pass
             for f in glob.glob(os.path.join(BASE, "eddy", f"lores_{nx}",
                                             f"metrics_*{op}*.json")) + \
+                    glob.glob(os.path.join(
+                        BASE, "eddy", f"lores_{nx}",
+                        f"metrics_*-op{op[-1]}.json")) + \
                     (glob.glob(os.path.join(BASE, "eddy", f"lores_{nx}",
                                             "metrics_eddy-none-0.json"))
                      if op == "Operator2" else []):
