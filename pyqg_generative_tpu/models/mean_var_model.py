@@ -26,7 +26,9 @@ from .common import bn_apply, nhwc_from_lev, lev_from_nhwc, train_regression
 @register_model
 class MeanVarModel(Parameterization):
     def __init__(self, hidden_channels=(128, 64, 32, 32, 32, 32, 32),
-                 folder: str = "model"):
+                 folder: str = "model", online_backend: str = "xla",
+                 online_variant: str = "dx",
+                 inference_dtype: str = "float32"):
         self.folder = folder
         self.hidden_channels = tuple(hidden_channels)
         self.net_mean = AndrewCNN(n_out=2, hidden_channels=self.hidden_channels)
@@ -34,6 +36,17 @@ class MeanVarModel(Parameterization):
         self.vars_mean = None
         self.vars_var = None
         self._jit_cache = {}
+        # 'xla' (default) or 'pallas': run BOTH online CNNs (mean + var) as
+        # fused VMEM-resident kernels (ml.pallas_conv) with BatchNorms
+        # folded into the convs — the GZ online step is two full CNN
+        # forwards, the most network-bound closure, so the fused kernel's
+        # ~2x (dx variant) applies twice per step. The softplus variance
+        # head is applied outside the kernel (elementwise, exact).
+        self.online_backend = online_backend
+        self.online_variant = online_variant
+        self._infer_dtype = jnp.bfloat16 \
+            if inference_dtype == "bfloat16" else jnp.float32
+        self._pallas_cache = None
         self.load_model(folder)
 
     def fit(self, ds_train, ds_test, num_epochs: int = 50,
@@ -105,9 +118,35 @@ class MeanVarModel(Parameterization):
         return bn_apply(self.net_var, self.vars_var["params"],
                         self.vars_var["batch_stats"], x, False)[0]
 
+    def _online_fns(self):
+        """Fused pallas forwards for (mean, var) with BN folded into the
+        convs (exact for eval-mode BN + circular padding). Cached per
+        weights identity; interpret mode on CPU (tests)."""
+        cache_key = (self.vars_mean, self.vars_var)
+        if self._pallas_cache is None or \
+                self._pallas_cache[0] is not cache_key[0] or \
+                self._pallas_cache[1] is not cache_key[1]:
+            from ..ml.nets import fold_batchnorm
+            from ..ml.pallas_conv import make_online_cnn
+            interp = jax.default_backend() == "cpu"
+            fns = tuple(
+                make_online_cnn(fold_batchnorm(v),
+                                compute_dtype=self._infer_dtype,
+                                interpret=interp,
+                                variant=self.online_variant)
+                for v in cache_key)
+            self._pallas_cache = (*cache_key, fns)
+        return self._pallas_cache[2]
+
     def predict_snapshot(self, q, noise):
         x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
-        y = self._apply_mean(x) + noise[None] * jnp.sqrt(self._apply_var(x))
+        if self.online_backend == "pallas" and self.vars_mean["batch_stats"]:
+            fm, fv = self._online_fns()
+            # the kernel returns the final pre-activation conv; VarCNN's
+            # softplus head is elementwise, applied here (exact)
+            y = fm(x) + noise[None] * jnp.sqrt(jax.nn.softplus(fv(x)))
+        else:
+            y = self._apply_mean(x) + noise[None] * jnp.sqrt(self._apply_var(x))
         return lev_from_nhwc(y * jnp.asarray(self.y_scale.std)).astype(q.dtype)
 
     def predict_mean_snapshot(self, q, M: int = 100):
