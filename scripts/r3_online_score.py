@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--sub", required=True, help="output subfolder name")
     ap.add_argument("--epoch", default="final",
                     choices=["final", "opt", "stable"])
+    ap.add_argument("--online-backend", default="xla",
+                    choices=["xla", "pallas"],
+                    help="online CNN backend (GAN/GZ support 'pallas' — "
+                         "the fused VMEM-resident kernel; also a different "
+                         "compiled program, useful when the XLA conv "
+                         "program trips the axon worker at 96^2)")
     args = ap.parse_args()
 
     from pyqg_generative_tpu.exp.pipeline import (CONFIGURATIONS,
@@ -62,6 +68,9 @@ def main():
     else:
         mdir = args.model
         model = load_model(mdir)
+        if args.online_backend != "xla" and \
+                hasattr(model, "online_backend"):
+            model.online_backend = args.online_backend
         if args.epoch != "final":
             ok = {"opt": getattr(model, "use_optimal_epoch", lambda: False),
                   "stable": getattr(model, "use_stable_epoch",
