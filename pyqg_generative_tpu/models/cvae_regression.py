@@ -30,13 +30,25 @@ class CVAERegression(Parameterization):
     def __init__(self, regression: str = "None",
                  decoder_var: str | float = "adaptive",
                  folder: str = "model", div: bool = False,
-                 hidden_channels=(128, 64, 32, 32, 32, 32, 32)):
+                 hidden_channels=(128, 64, 32, 32, 32, 32, 32),
+                 online_backend: str = "xla", online_variant: str = "dx",
+                 inference_dtype: str = "float32"):
         self.folder = folder
         self.regression = regression
         self.decoder_var = decoder_var
         self.div = div
         self.hidden_channels = tuple(hidden_channels)
         self.n_latent = 2
+        # 'xla' (default) or 'pallas': run the online decoder as a fused
+        # VMEM-resident kernel with BatchNorms folded into the convs
+        # (ml.pallas_conv, same plumbing as CGANRegression/MeanVarModel).
+        # Only used when div=False (the spectral-divergence head is a
+        # separate rFFT stage the kernel does not cover).
+        self.online_backend = online_backend
+        self.online_variant = online_variant
+        self._infer_dtype = jnp.bfloat16 \
+            if inference_dtype == "bfloat16" else jnp.float32
+        self._pallas_cache = None
 
         self.decoder = AndrewCNN(n_out=2, div=div,
                                  hidden_channels=self.hidden_channels)
@@ -167,10 +179,30 @@ class CVAERegression(Parameterization):
     def generate_latent_noise(self, key, ny, nx):
         return jax.random.normal(key, self.latent_shape(ny, nx), jnp.float32)
 
+    def _online_dec(self):
+        """Fused pallas forward for the BN-folded decoder, cached per
+        weights identity (rebuilt after use_optimal_epoch)."""
+        if self._pallas_cache is None or \
+                self._pallas_cache[0] is not self.vars_dec:
+            from ..ml.nets import fold_batchnorm
+            from ..ml.pallas_conv import make_online_cnn
+            interp = jax.default_backend() == "cpu"
+            self._pallas_cache = (
+                self.vars_dec,
+                make_online_cnn(fold_batchnorm(self.vars_dec),
+                                compute_dtype=self._infer_dtype,
+                                interpret=interp,
+                                variant=self.online_variant))
+        return self._pallas_cache[1]
+
     def generate(self, x, z):
-        y = bn_apply(self.decoder, self.vars_dec["params"],
-                     self.vars_dec["batch_stats"],
-                     jnp.concatenate([x, z], axis=-1), False)[0]
+        xin = jnp.concatenate([x, z], axis=-1)
+        if self.online_backend == "pallas" and not self.div \
+                and self.vars_dec["batch_stats"]:
+            y = self._online_dec()(xin)
+        else:
+            y = bn_apply(self.decoder, self.vars_dec["params"],
+                         self.vars_dec["batch_stats"], xin, False)[0]
         if self.regression != "None":
             y = y + bn_apply(self.net_mean, self.vars_mean["params"],
                              self.vars_mean["batch_stats"], x, False)[0]

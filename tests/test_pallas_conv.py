@@ -196,3 +196,32 @@ def test_gz_pallas_backend_matches_xla(tmp_path):
     assert f_pal.shape == f_xla.shape
     np.testing.assert_allclose(f_pal, f_xla, rtol=1e-3,
                                atol=1e-4 * np.abs(f_xla).max())
+
+
+def test_vae_pallas_backend_matches_xla(tmp_path):
+    """CVAERegression(online_backend='pallas') produces the same online
+    forcing as the eval-mode-BN XLA decoder path."""
+    from pyqg_generative_tpu.models import CVAERegression
+
+    def build(backend):
+        m = CVAERegression(folder=str(tmp_path / "none"),
+                           hidden_channels=(8, 8),
+                           online_backend=backend)
+        key = jax.random.PRNGKey(0)
+        mk = lambda t: {"params": t["params"],
+                        "batch_stats": t.get("batch_stats", {})}
+        m.vars_dec = mk(m.decoder.init(
+            key, jnp.zeros((1, NX, NX, 2 + m.n_latent)), train=True))
+        from pyqg_generative_tpu.ml.scalers import ChannelwiseScaler
+        m.x_scale = ChannelwiseScaler.from_stats([0.0, 0.0], [1e-5, 1e-5])
+        m.y_scale = ChannelwiseScaler.from_stats([0.0, 0.0], [1e-11, 1e-11])
+        return m
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, NX, NX),
+                          jnp.float32) * 1e-5
+    z = jax.random.normal(jax.random.PRNGKey(2), (NX, NX, 2), jnp.float32)
+    f_xla = np.asarray(build("xla").predict_snapshot(q, z))
+    f_pal = np.asarray(build("pallas").predict_snapshot(q, z))
+    assert f_pal.shape == f_xla.shape
+    np.testing.assert_allclose(f_pal, f_xla, rtol=1e-3,
+                               atol=1e-4 * np.abs(f_xla).max())
