@@ -126,6 +126,17 @@ def online_stage_isolated(cfg, op, nx, jobs, years=20.0, n_ens=10,
                 cmd += ["--dt", str(dt)]
             rc = subprocess.run(cmd, timeout=7200).returncode
             if rc != 0:
+                # axon worker crashes correlate with long per-segment
+                # scans: one retry at 3x finer segmentation rescued every
+                # 48^2/64^2 GZ cell that failed at the default (round-3
+                # campaign logs); the subfolder is idempotent so a retry
+                # resumes cleanly.
+                seg_i = cmd.index("--segments") + 1
+                cmd[seg_i] = str(3 * int(cmd[seg_i]))
+                log(f"job {model_folder}/{subfolder} failed rc={rc} — "
+                    f"retrying once with --segments {cmd[seg_i]}")
+                rc = subprocess.run(cmd, timeout=7200).returncode
+            if rc != 0:
                 log(f"job {model_folder}/{subfolder} failed rc={rc} "
                     f"— continuing")
                 continue
