@@ -115,6 +115,13 @@ def online_stage_isolated(cfg, op, nx, jobs, years=20.0, n_ens=10,
             if model_folder == "lores" else model_folder
         metr_file = os.path.join(out_dir, f"metrics_{subfolder}.json")
         if not os.path.exists(metr_file):
+            from pyqg_generative_tpu.utils.health import wait_for_backend
+            if not wait_for_backend(deadline_s=900):
+                # a wedged pool grant hangs every new client in backend
+                # init; skip remaining jobs instead of burning their
+                # timeouts (the jobs are idempotent — re-run later)
+                log("backend down >15 min — skipping remaining online jobs")
+                break
             dt = 7200.0 if nx == 48 else None
             cmd = [sys.executable, "-u", script, "--model", model_folder,
                    "--cfg", cfg, "--operator", op, "--nx", str(nx),
