@@ -83,6 +83,8 @@ def cmd_parameterized(args):
         model = MODEL_REGISTRY[args.closure](**kw)
     else:
         model = load_model(args.model_folder)
+    if args.online_backend != "xla" and hasattr(model, "online_backend"):
+        model.online_backend = args.online_backend
     if args.model_weight != 1.0:
         model = _weighted(model, args.model_weight)
     parameterization = {"self": model, "sampling": args.sampling,
@@ -199,6 +201,10 @@ def main(argv=None):
     s.add_argument("--sampling", type=str, default="AR1")
     s.add_argument("--nsteps", type=int, default=1)
     s.add_argument("--model-weight", type=float, default=1.0)
+    s.add_argument("--online-backend", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="online CNN backend (GAN/GZ/VAE support the fused "
+                        "VMEM-resident pallas kernel)")
     s.set_defaults(fn=cmd_parameterized)
 
     s = sub.add_parser("forecast")
