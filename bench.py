@@ -67,7 +67,7 @@ def main():
         model_note = "untrained (same FLOPs)"
     if args.backend.startswith("pallas"):
         model.online_backend = "pallas"
-        model.online_variant = (args.backend.split(":", 1) + ["packed"])[1]
+        model.online_variant = (args.backend.split(":", 1) + ["dx"])[1]
         model._pallas_cache = None
         model_note += f" [{args.backend}]"
 

@@ -47,7 +47,7 @@ class CGANRegression(Parameterization):
                  hidden_channels=(128, 64, 32, 32, 32, 32, 32),
                  inference_dtype: str = "float32",
                  online_backend: str = "xla",
-                 online_variant: str = "packed"):
+                 online_variant: str = "dx"):
         self.folder = folder
         # 'xla' (default) or 'pallas': the fused VMEM-resident kernel for
         # the online generator (ml.pallas_conv; exactness-tested, measured
