@@ -35,17 +35,37 @@ def main():
                          "directly with the published 48^2/dt=7200 anchor)")
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    import jax
     sys.path.insert(0, "/root/repo")
+
+    # WEDGE-PROOFING (round-3 postmortem: BENCH_r03.json rc=124): the axon
+    # TPU pool can wedge such that backend initialization hangs forever.
+    # Probe in a subprocess (health.py imports no jax at module level) and
+    # fail fast with a parseable JSON line instead of burning the driver's
+    # whole timeout inside jax.devices().
+    from pyqg_generative_tpu.utils.health import backend_alive
+    platform = "cpu" if args.cpu else None
+    if not backend_alive(timeout=90.0, platform=platform):
+        print(json.dumps({
+            "metric": f"gan_online_member_steps_per_s_{args.nx}sq_"
+                      f"{args.members}member",
+            "value": 0.0,
+            "unit": "member-steps/s",
+            "vs_baseline": 0.0,
+            "error": "backend wedged: jax initialization did not complete "
+                     "a 4x4 reduction within 90 s in a fresh subprocess",
+        }))
+        sys.exit(1)
+
+    import jax
+    if args.cpu:
+        # must land before any backend initialization; jax.config overrides
+        # the sitecustomize JAX_PLATFORMS pin (see utils/health.py)
+        jax.config.update("jax_platforms", "cpu")
     from pyqg_generative_tpu.utils.cache import configure_compilation_cache
     configure_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
-    sys.path.insert(0, "/root/repo")
     from __graft_entry__ import _untrained_gan
     from pyqg_generative_tpu.qg import core
     from pyqg_generative_tpu.qg.params import QGParams

@@ -106,6 +106,7 @@ def spread_skill_dataset(folder: str, var: str = "q", n_ens: int | None = None,
     if not files:
         raise FileNotFoundError(f"no forecast files in {folder}")
     skills, spreads = [], []
+    n_legacy = 0
     for path in files:
         ds = xr.Dataset.from_npz(path)
         # independent truth, if run_forecast_truth wrote one for this IC
@@ -124,8 +125,20 @@ def spread_skill_dataset(folder: str, var: str = "q", n_ens: int | None = None,
         # run_forecasting records the member count actually used in the
         # saved mean/std (member-0 excluded); prefer it over the caller's
         # n_ens so the reliability factor matches the data.
-        if n_ens is None and "n_ens_stat" in ds.attrs:
-            n_ens = int(ds.attrs["n_ens_stat"])
+        if "n_ens_stat" in ds.attrs:
+            if n_ens is None:
+                n_ens = int(ds.attrs["n_ens_stat"])
+        else:
+            n_legacy += 1
+    if n_legacy:
+        import warnings
+        warnings.warn(
+            f"spread_skill_dataset: {n_legacy}/{len(files)} forecast files "
+            f"in {folder} predate the n_ens_stat attribute (their saved "
+            "mean/std include member-0, biasing RMSE low and the "
+            "reliability factor); output is tagged "
+            "'n_legacy_member0_files' — do not mix with new-format "
+            "folders in cross-round comparisons", stacklevel=2)
     rmse = np.mean(np.stack(skills), axis=0)
     out = xr.Dataset()
     out["rmse"] = xr.DataArray(rmse, ("time",))
@@ -136,6 +149,7 @@ def spread_skill_dataset(folder: str, var: str = "q", n_ens: int | None = None,
         out["ratio"] = xr.DataArray(
             factor * spread / np.maximum(rmse, 1e-300), ("time",))
     out.attrs["n_ic"] = len(files)
+    out.attrs["n_legacy_member0_files"] = n_legacy
     return out
 
 

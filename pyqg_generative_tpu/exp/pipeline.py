@@ -174,9 +174,14 @@ def run_forecasting(base: str, model_folder: str | None,
     if model is not None and epoch != "final":
         # generator-epoch selection: offline-optimal (G_opt.msgpack) or
         # online-stability-selected (G_stable.msgpack) weights
-        ok = {"opt": getattr(model, "use_optimal_epoch", lambda: False),
-              "stable": getattr(model, "use_stable_epoch", lambda: False),
-              }[epoch]()
+        loaders = {"opt": getattr(model, "use_optimal_epoch", lambda: False),
+                   "stable": getattr(model, "use_stable_epoch",
+                                     lambda: False)}
+        if epoch not in loaders:
+            raise ValueError(
+                f"epoch must be one of 'final', 'opt', 'stable'; "
+                f"got {epoch!r}")
+        ok = loaders[epoch]()
         if not ok:
             raise FileNotFoundError(
                 f"no banked '{epoch}' generator weights in {model_folder}")

@@ -237,6 +237,13 @@ class CGANRegression(Parameterization):
                               sampling_freq=ANDREW_1000_STEPS, key=epoch)
             std = float(np.std(ds["q"].values[:, -1]))
             spec_err = 0.0
+            if target_kespec is not None and "KEspec" not in ds:
+                import warnings
+                warnings.warn(
+                    "select_stable_epoch: target_kespec given but the probe "
+                    "run has no KEspec (with_diags off?) — the spectrum "
+                    "term drops out and selection degrades to "
+                    "amplitude-only", stacklevel=2)
             if target_kespec is not None and "KEspec" in ds:
                 from ..eval.comparison import _spectral_rmse
                 probe_spec = ds["KEspec"].values

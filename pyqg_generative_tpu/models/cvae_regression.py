@@ -336,10 +336,25 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
     # train_CGAN), so a crash-resumed run keeps any pre-crash best decoder
     # and decoder_opt.msgpack matches an uninterrupted run bit-for-bit.
     best_template = jax.device_get(net.vars_dec)
-    resumed = ckpt.restore((carry, best_template))
+    try:
+        resumed = ckpt.restore((carry, best_template))
+        restored_best = True
+    except Exception:
+        # a vae_train_ckpt.npz written by the pre-best-tracking layout
+        # holds only the carry; restore it so an in-flight run resumes
+        # (losing only the pre-crash best-decoder candidate)
+        resumed = ckpt.restore(carry)
+        restored_best = False
+        if resumed is not None and verbose:
+            print("resuming from a legacy carry-only VAE checkpoint "
+                  "(pre-crash best-epoch candidate not recoverable)")
     if resumed is not None:
-        epoch0, (carry, best_vars), log, rng, jkey, extra = resumed
-        if extra.get("best_epoch", 0) > 0:
+        if restored_best:
+            epoch0, (carry, best_vars), log, rng, jkey, extra = resumed
+        else:
+            epoch0, carry, log, rng, jkey, extra = resumed
+            best_vars = None
+        if restored_best and extra.get("best_epoch", 0) > 0:
             best = {"loss": extra["best_loss"], "vars_dec": best_vars,
                     "epoch": extra["best_epoch"]}
         net._set_vae_variables(carry[0], carry[1])

@@ -131,7 +131,16 @@ def online_stage_isolated(cfg, op, nx, jobs, years=20.0, n_ens=10,
                    "--epoch", "opt" if use_opt else "final"]
             if dt is not None:
                 cmd += ["--dt", str(dt)]
-            rc = subprocess.run(cmd, timeout=7200).returncode
+            # a hung job must cost only itself: treat TimeoutExpired
+            # exactly like a nonzero return code (retry once, then skip)
+            # instead of letting it abort the whole stage
+            def _run(c):
+                try:
+                    return subprocess.run(c, timeout=7200).returncode
+                except subprocess.TimeoutExpired:
+                    log(f"job {c} timed out after 7200 s")
+                    return -9
+            rc = _run(cmd)
             if rc != 0:
                 # axon worker crashes correlate with long per-segment
                 # scans: one retry at 3x finer segmentation rescued every
@@ -142,7 +151,7 @@ def online_stage_isolated(cfg, op, nx, jobs, years=20.0, n_ens=10,
                 cmd[seg_i] = str(3 * int(cmd[seg_i]))
                 log(f"job {model_folder}/{subfolder} failed rc={rc} — "
                     f"retrying once with --segments {cmd[seg_i]}")
-                rc = subprocess.run(cmd, timeout=7200).returncode
+                rc = _run(cmd)
             if rc != 0:
                 log(f"job {model_folder}/{subfolder} failed rc={rc} "
                     f"— continuing")
