@@ -14,6 +14,42 @@ import sys
 import time
 
 BASELINE_MEMBER_STEPS_PER_S = 200.0  # GAN online, reference stack
+PEAK_BF16_FLOPS = 197e12  # TPU v5e: 197 TFLOP/s bf16 per chip
+
+
+def _conv_flops_per_apply(params, nx: int) -> float:
+    """Analytic FLOPs of one forward pass of a same-resolution conv net:
+    2 * kh * kw * cin * cout * nx^2 summed over every conv kernel in the
+    params pytree (circular padding keeps the spatial size at nx^2 for
+    every layer of AndrewCNN / the fused online path). Computed from the
+    weights themselves so it is robust to architecture and backend — XLA's
+    cost_analysis cannot see inside pallas custom calls."""
+    import jax
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(params):
+        shp = getattr(leaf, "shape", ())
+        if len(shp) == 4:  # (kh, kw, cin, cout) flax conv kernel
+            kh, kw, cin, cout = shp
+            total += 2.0 * kh * kw * cin * cout * nx * nx
+        elif len(shp) == 2:  # dense layer
+            total += 2.0 * shp[0] * shp[1]
+    return total
+
+
+def _model_flops_per_member_step(model, nx: int) -> tuple[float, str]:
+    """FLOPs of the NN work in ONE online member-step (the solver's FFT
+    work is excluded — this is a strict lower bound, stated as such)."""
+    nets = []
+    if getattr(model, "vars_G", None) is not None:  # GAN generator
+        nets.append(("G", model.vars_G["params"]))
+    if getattr(model, "vars_dec", None) is not None:  # VAE decoder
+        nets.append(("decoder", model.vars_dec["params"]))
+    if getattr(model, "vars_mean", None) is not None:  # GZ mean net
+        nets.append(("mean", model.vars_mean["params"]))
+    if getattr(model, "vars_var", None) is not None:  # GZ var net
+        nets.append(("var", model.vars_var["params"]))
+    total = sum(_conv_flops_per_apply(p, nx) for _, p in nets)
+    return total, "+".join(n for n, _ in nets)
 
 
 def main():
@@ -120,6 +156,10 @@ def main():
     member_steps_per_s = args.members * total_steps / dt_wall
     sim_years_per_day = (member_steps_per_s * p.dt) / (360 * 86400) * 86400
 
+    nn_flops, nn_nets = _model_flops_per_member_step(model, args.nx)
+    sustained = nn_flops * member_steps_per_s
+    mfu = sustained / PEAK_BF16_FLOPS
+
     result = {
         "metric": f"gan_online_member_steps_per_s_{args.nx}sq_"
                   f"{args.members}member",
@@ -140,6 +180,12 @@ def main():
           f"(~{sim_years_per_day:,.0f} member-sim-years/day); "
           f"model={model_note}; {path_note}; devices={jax.devices()}",
           file=sys.stderr)
+    print(f"# utilization: NN work ({nn_nets}) = "
+          f"{nn_flops / 1e9:.2f} GFLOP/member-step -> sustained "
+          f"{sustained / 1e12:.1f} TFLOP/s = {100 * mfu:.1f}% MFU of "
+          f"{PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s v5e bf16 peak "
+          f"(NN-only lower bound: the solver's FFT/elementwise work per "
+          f"step is excluded)", file=sys.stderr)
 
 
 if __name__ == "__main__":

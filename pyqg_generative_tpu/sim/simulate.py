@@ -332,22 +332,15 @@ def run_ensemble_segmented(pyqg_params: QGParams, parameterization=None,
                           steps_per_snap * p.dt, n_snaps, run_dim=True)
 
 
-def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
-                             sampling_freq: float = ANDREW_1000_STEPS,
-                             operators: Sequence[str] = ("Operator2",
-                                                         "Operator5"),
-                             dealias: str = "3/2-rule",
-                             key: int = 0) -> dict:
-    """Run the DNS and emit per-(operator, resolution) training datasets of
-    (S, q̄, ū, v̄, ψ̄), all inside one scanned XLA program
-    (reference tools/simulate.py:62-106)."""
-    p = pyqg_params
+def _forcing_program(Nc: Sequence[int], p: QGParams, sampling_freq: float,
+                     operators: Sequence[str], dealias: str):
+    """The scanned DNS + per-snapshot coarse-graining program shared by the
+    single-run and batched forcing generators. Returns
+    (program(q0) -> {combo: {var: (time, lev, y, x)}}, n_snaps,
+    steps_per_snap)."""
     steps_per_snap = max(1, int(round(sampling_freq / p.dt)))
     n_snaps = max(1, int(p.tmax // (steps_per_snap * p.dt)))
     step = make_online_step(p, None, with_diags=False)
-
-    def combo_key(op_name, nc):
-        return f"{op_name}-{nc}-dealias"
 
     def program(q0):
         state = core.init_state(q0, p)
@@ -365,7 +358,7 @@ def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
                 for nc in Nc:
                     S, (qc, uc, vc, psic) = PV_subgrid_forcing(
                         q, nc, op, p, dealias)
-                    out[combo_key(op_name, nc)] = {
+                    out[f"{op_name}-{nc}-dealias"] = {
                         "q_forcing_advection": S.astype(jnp.float32),
                         "q": qc.astype(jnp.float32),
                         "u": uc.astype(jnp.float32),
@@ -375,9 +368,11 @@ def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
 
         return jax.lax.scan(chunk, state, None, length=n_snaps)[1]
 
-    q0 = set_initial_condition(p, key)
-    outs = jax.device_get(jax.jit(program)(q0))
+    return program, n_snaps, steps_per_snap
 
+
+def _forcing_to_datasets(outs: dict, p: QGParams, n_snaps: int,
+                         steps_per_snap: int) -> dict:
     time_days = (np.arange(1, n_snaps + 1) * steps_per_snap * p.dt) / DAY
     result = {}
     for cname, data in outs.items():
@@ -393,3 +388,49 @@ def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
                                   attrs={"units": "days"})
         result[cname] = ds
     return result
+
+
+def generate_subgrid_forcing(Nc: Sequence[int], pyqg_params: QGParams,
+                             sampling_freq: float = ANDREW_1000_STEPS,
+                             operators: Sequence[str] = ("Operator2",
+                                                         "Operator5"),
+                             dealias: str = "3/2-rule",
+                             key: int = 0) -> dict:
+    """Run the DNS and emit per-(operator, resolution) training datasets of
+    (S, q̄, ū, v̄, ψ̄), all inside one scanned XLA program
+    (reference tools/simulate.py:62-106)."""
+    p = pyqg_params
+    program, n_snaps, steps_per_snap = _forcing_program(
+        Nc, p, sampling_freq, operators, dealias)
+    q0 = set_initial_condition(p, key)
+    outs = jax.device_get(jax.jit(program)(q0))
+    return _forcing_to_datasets(outs, p, n_snaps, steps_per_snap)
+
+
+def generate_subgrid_forcing_batch(Nc: Sequence[int],
+                                   pyqg_params: QGParams,
+                                   sampling_freq: float = ANDREW_1000_STEPS,
+                                   operators: Sequence[str] = ("Operator2",
+                                                               "Operator5"),
+                                   dealias: str = "3/2-rule",
+                                   keys: Sequence[int] = (0,)) -> list:
+    """Batched forcing generation: vmap the DNS + coarse-graining program
+    over independent members (one per key) so several 256^2 runs share one
+    XLA program and fill the chip (the serial per-run path leaves the MXU
+    mostly idle at this grid size). Returns a list of per-key dicts, each
+    identical in layout to :func:`generate_subgrid_forcing`'s result.
+
+    No reference counterpart: the reference runs each forcing member as a
+    separate SLURM job (scripts/run_forcing_datasets.py:24-25)."""
+    p = pyqg_params
+    program, n_snaps, steps_per_snap = _forcing_program(
+        Nc, p, sampling_freq, operators, dealias)
+    q0 = jnp.stack([set_initial_condition(p, k) for k in keys])
+    outs = jax.device_get(jax.jit(jax.vmap(program))(q0))
+    results = []
+    for j in range(len(keys)):
+        member = {c: {v: a[j] for v, a in d.items()}
+                  for c, d in outs.items()}
+        results.append(
+            _forcing_to_datasets(member, p, n_snaps, steps_per_snap))
+    return results

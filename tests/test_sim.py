@@ -104,6 +104,22 @@ def test_generate_subgrid_forcing_contract():
     assert np.abs(S).max() < 1e-6 * max(1.0, np.abs(q).max())
 
 
+def test_generate_subgrid_forcing_batch_matches_single():
+    from pyqg_generative_tpu.sim import generate_subgrid_forcing_batch
+    p = QGParams(nx=64, dt=3600.0, tmax=20 * 3600.0, precision="double")
+    batch = generate_subgrid_forcing_batch(
+        [16], p, sampling_freq=10 * 3600.0, keys=[0, 3])
+    assert len(batch) == 2
+    for j, key in enumerate((0, 3)):
+        single = generate_subgrid_forcing(
+            [16], p, sampling_freq=10 * 3600.0, key=key)
+        for c in single:
+            for v in ("q_forcing_advection", "q", "u", "v", "psi"):
+                np.testing.assert_allclose(batch[j][c][v].values,
+                                           single[c][v].values,
+                                           rtol=1e-6, atol=1e-30)
+
+
 # ------------------------------------------------------------ samplers
 
 def _sampler_model():
