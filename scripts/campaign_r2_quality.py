@@ -249,6 +249,10 @@ def main():
                     default=["MeanVarModel", "CGANRegression",
                              "CVAERegression"])
     ap.add_argument("--skip-training", action="store_true")
+    ap.add_argument("--skip-online", action="store_true",
+                    help="train/offline-test only; online runs are launched "
+                         "separately (e.g. via r3_online_score.py with "
+                         "--online-backend pallas at 96^2)")
     ap.add_argument("--no-sweep", action="store_true",
                     help="skip the decorrelation sweep stage")
     ap.add_argument("--no-lores", action="store_true",
@@ -269,6 +273,9 @@ def main():
         train_stage(cfg, op, nx, args.models, args.realizations,
                     transfer_cfg=args.transfer_cfg,
                     retain_every=args.retain_every)
+    if args.skip_online:
+        log("--skip-online: training/offline stage complete")
+        return
 
     mdir = os.path.join(BASE, cfg, f"models_{op}_{nx}")
     jobs = [] if args.no_lores else \

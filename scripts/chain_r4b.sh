@@ -1,0 +1,102 @@
+#!/bin/bash
+# Round-4 chain (rewritten after the data_r2 loss — the round-3 chain_r4.sh
+# assumed campaign artifacts that were gitignored and did not survive the
+# machine snapshot). Ordered by VERDICT round-3 priority; every stage is
+# health-gated, bounded, and restartable (skip-existing per file).
+# Usage: nohup bash scripts/chain_r4b.sh > data_r2/logs/chain_r4b.log 2>&1 &
+set -u
+cd /root/repo
+LOGS=data_r2/logs
+mkdir -p "$LOGS"
+SCORE="python -u scripts/r3_online_score.py"
+QUAL="python -u scripts/campaign_r2_quality.py"
+stamp() { echo "[$(date +%H:%M:%S)] $*"; }
+
+gate() {  # skip the stage cleanly if the backend is down
+    python -c "
+from pyqg_generative_tpu.utils.health import wait_for_backend
+import sys
+sys.exit(0 if wait_for_backend(deadline_s=900) else 1)"
+}
+
+# ---- Stage 1: the three missing 64^2 closure cells (VERDICT missing #2) --
+if gate; then
+    timeout 10800 $QUAL --cfg eddy --operator Operator2 --nx 64 \
+        --realizations 1 --models CVAERegression --no-sweep --no-lores \
+        > "$LOGS/r4_op2_64_vae.log" 2>&1
+    stamp "Operator2x64 VAE exit=$?"
+else stamp "backend down — skipped Op2x64 VAE"; fi
+
+if gate; then
+    timeout 14400 $QUAL --cfg eddy --operator Operator1 --nx 64 \
+        --realizations 1 --models CGANRegression CVAERegression \
+        --retain-every 10 --no-sweep \
+        > "$LOGS/r4_op1_64_gan_vae.log" 2>&1
+    stamp "Operator1x64 GAN+VAE exit=$?"
+else stamp "backend down — skipped Op1x64"; fi
+
+# ---- Stage 2: 96^2 GZ cells + lores rows (cheap training; online via the
+#      fused pallas backend — a different compiled program than the XLA
+#      conv path that crashed the axon worker in round 3) ----------------
+if gate; then
+    timeout 7200 $QUAL --cfg eddy --operator Operator2 --nx 96 \
+        --realizations 1 --models MeanVarModel --skip-online \
+        --no-sweep --no-lores > "$LOGS/r4_op2_96_gz_train.log" 2>&1
+    stamp "Operator2x96 GZ train exit=$?"
+    timeout 7200 $SCORE --model data_r2/eddy/models_Operator2_96/MeanVarModel-0 \
+        --operator Operator2 --nx 96 --segments 24 --online-backend pallas \
+        --sub eddy-constant-0 > "$LOGS/r4_op2_96_gz_online.log" 2>&1
+    stamp "Operator2x96 GZ online (pallas) exit=$?"
+else stamp "backend down — skipped Op2x96 GZ"; fi
+
+if gate; then
+    timeout 7200 $QUAL --cfg eddy --operator Operator1 --nx 96 \
+        --realizations 1 --models MeanVarModel --skip-online \
+        --no-sweep --no-lores > "$LOGS/r4_op1_96_gz_train.log" 2>&1
+    stamp "Operator1x96 GZ train exit=$?"
+    timeout 7200 $SCORE --model data_r2/eddy/models_Operator1_96/MeanVarModel-0 \
+        --operator Operator1 --nx 96 --segments 24 --online-backend pallas \
+        --sub eddy-constant-0 > "$LOGS/r4_op1_96_gz_online.log" 2>&1
+    stamp "Operator1x96 GZ online (pallas) exit=$?"
+else stamp "backend down — skipped Op1x96 GZ"; fi
+
+if gate; then
+    timeout 3600 $SCORE --model lores --operator Operator2 --nx 96 \
+        --segments 12 --sub eddy-none-0 > "$LOGS/r4_lores96_op2.log" 2>&1
+    stamp "lores 96 (Op2 scoring) exit=$?"
+    timeout 3600 $SCORE --model lores --operator Operator1 --nx 96 \
+        --segments 12 --sub eddy-none-0-op1 > "$LOGS/r4_lores96_op1.log" 2>&1
+    stamp "lores 96 (Op1 scoring) exit=$?"
+else stamp "backend down — skipped lores 96"; fi
+
+# ---- Stage 3: 96^2 GAN cells (the expensive trainings) ------------------
+if gate; then
+    timeout 14400 $QUAL --cfg eddy --operator Operator1 --nx 96 \
+        --realizations 1 --models CGANRegression --retain-every 10 \
+        --no-sweep --no-lores > "$LOGS/r4_op1_96_gan.log" 2>&1
+    stamp "Operator1x96 GAN exit=$?"
+else stamp "backend down — skipped Op1x96 GAN"; fi
+
+if gate; then
+    timeout 14400 $QUAL --cfg eddy --operator Operator2 --nx 96 \
+        --realizations 1 --models CGANRegression --retain-every 10 \
+        --no-sweep --no-lores > "$LOGS/r4_op2_96_gan.log" 2>&1
+    stamp "Operator2x96 GAN exit=$?"
+else stamp "backend down — skipped Op2x96 GAN"; fi
+
+# ---- Stage 4: 96^2 VAE cells --------------------------------------------
+if gate; then
+    timeout 14400 $QUAL --cfg eddy --operator Operator1 --nx 96 \
+        --realizations 1 --models CVAERegression --no-sweep --no-lores \
+        > "$LOGS/r4_op1_96_vae.log" 2>&1
+    stamp "Operator1x96 VAE exit=$?"
+else stamp "backend down — skipped Op1x96 VAE"; fi
+
+if gate; then
+    timeout 14400 $QUAL --cfg eddy --operator Operator2 --nx 96 \
+        --realizations 1 --models CVAERegression --no-sweep --no-lores \
+        > "$LOGS/r4_op2_96_vae.log" 2>&1
+    stamp "Operator2x96 VAE exit=$?"
+else stamp "backend down — skipped Op2x96 VAE"; fi
+
+stamp "round-4 matrix chain done"
