@@ -57,4 +57,14 @@ if gate; then
     stamp "jet stable-epoch exit=$?"
 else stamp "backend down — skipped jet stable"; fi
 
+# ---- Stage 5: jet forecast matrix (reference run_forecasting.py:19 runs
+#      the same 15x15x{0..48h}x90d matrix for jet) -------------------------
+if gate; then
+    timeout 14400 python -u scripts/campaign_r2_forecast.py --cfg jet \
+        --model data_r2/jet/models_Operator1_48/CGANRegression-0 \
+        --operator Operator1 --truth --epoch stable \
+        > "$LOGS/r4_jet_forecast.log" 2>&1
+    stamp "jet forecast matrix exit=$?"
+else stamp "backend down — skipped jet forecast"; fi
+
 stamp "round-4 chain C done"
