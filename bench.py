@@ -14,6 +14,9 @@ import sys
 import time
 
 BASELINE_MEMBER_STEPS_PER_S = 200.0  # GAN online, reference stack
+# per-family reference anchors (BASELINE.md: Colab online-simulations
+# cells 12-14 — GAN 431.5 s, VAE 425.1 s, GZ 747.5 s for 86,400 steps)
+FAMILY_BASELINES = {"gan": 200.0, "vae": 203.0, "gz": 116.0}
 PEAK_BF16_FLOPS = 197e12  # TPU v5e: 197 TFLOP/s bf16 per chip
 
 
@@ -114,10 +117,14 @@ def main():
     # BN folded into the convs (predict_snapshot online path). Falls back to
     # a freshly initialized generator (identical FLOPs) off-repo.
     import os
+    family = "gan"
     if os.path.exists(os.path.join(args.model_folder, "model_args.json")):
         from pyqg_generative_tpu.models import load_model
         model = load_model(args.model_folder)
         model_note = args.model_folder
+        family = {"CGANRegression": "gan", "CVAERegression": "vae",
+                  "MeanVarModel": "gz"}.get(type(model).__name__,
+                                            type(model).__name__.lower())
     else:
         model = _untrained_gan(args.nx)
         model_note = "untrained (same FLOPs)"
@@ -161,12 +168,13 @@ def main():
     mfu = sustained / PEAK_BF16_FLOPS
 
     result = {
-        "metric": f"gan_online_member_steps_per_s_{args.nx}sq_"
+        "metric": f"{family}_online_member_steps_per_s_{args.nx}sq_"
                   f"{args.members}member",
         "value": round(member_steps_per_s, 1),
         "unit": "member-steps/s",
-        "vs_baseline": round(member_steps_per_s /
-                             BASELINE_MEMBER_STEPS_PER_S, 2),
+        "vs_baseline": round(
+            member_steps_per_s /
+            FAMILY_BASELINES.get(family, BASELINE_MEMBER_STEPS_PER_S), 2),
     }
     print(json.dumps(result))
     path_note = ("BN-folded float32 online path — the same path scored in "
