@@ -69,6 +69,23 @@ if gate; then
     stamp "lores 96 (Op1 scoring) exit=$?"
 else stamp "backend down — skipped lores 96"; fi
 
+# ---- Stage 2.5: lores baseline rows at 48/64 (round-3 rows were lost
+#      with data_r2; cheap to regenerate, needed by every cell's table) ---
+if gate; then
+    timeout 3600 $SCORE --model lores --operator Operator2 --nx 48 \
+        --dt 7200 --sub eddy-none-0 > "$LOGS/r4_lores48_op2.log" 2>&1
+    stamp "lores 48 (Op2) exit=$?"
+    timeout 3600 $SCORE --model lores --operator Operator1 --nx 48 \
+        --dt 7200 --sub eddy-none-0-op1 > "$LOGS/r4_lores48_op1.log" 2>&1
+    stamp "lores 48 (Op1) exit=$?"
+    timeout 3600 $SCORE --model lores --operator Operator2 --nx 64 \
+        --sub eddy-none-0 > "$LOGS/r4_lores64_op2.log" 2>&1
+    stamp "lores 64 (Op2) exit=$?"
+    timeout 3600 $SCORE --model lores --operator Operator1 --nx 64 \
+        --sub eddy-none-0-op1 > "$LOGS/r4_lores64_op1.log" 2>&1
+    stamp "lores 64 (Op1) exit=$?"
+else stamp "backend down — skipped lores 48/64"; fi
+
 # ---- Stage 3: 96^2 GAN cells (the expensive trainings) ------------------
 if gate; then
     timeout 14400 $QUAL --cfg eddy --operator Operator1 --nx 96 \
