@@ -263,6 +263,10 @@ def main():
     ap.add_argument("--no-isolate", action="store_true",
                     help="run online jobs in-process instead of one "
                          "subprocess per job (crash isolation)")
+    ap.add_argument("--data-cap", type=int, default=300,
+                    help="max training runs (the published protocol is "
+                         "300; 150 halves 96^2 training cost — the "
+                         "'GAN (150 runs)' precedent in VALIDATION)")
     ap.add_argument("--retain-every", type=int, default=0,
                     help="bank GAN generator weights every N epochs for "
                          "select_stable_epoch")
@@ -271,6 +275,7 @@ def main():
 
     if not args.skip_training:
         train_stage(cfg, op, nx, args.models, args.realizations,
+                    data_cap=args.data_cap,
                     transfer_cfg=args.transfer_cfg,
                     retain_every=args.retain_every)
     if args.skip_online:

@@ -40,6 +40,7 @@ else stamp "backend down — skipped Op1x64"; fi
 #      conv path that crashed the axon worker in round 3) ----------------
 if gate; then
     timeout 7200 $QUAL --cfg eddy --operator Operator2 --nx 96 \
+        --data-cap 150 \
         --realizations 1 --models MeanVarModel --skip-online \
         --no-sweep --no-lores > "$LOGS/r4_op2_96_gz_train.log" 2>&1
     stamp "Operator2x96 GZ train exit=$?"
@@ -51,6 +52,7 @@ else stamp "backend down — skipped Op2x96 GZ"; fi
 
 if gate; then
     timeout 7200 $QUAL --cfg eddy --operator Operator1 --nx 96 \
+        --data-cap 150 \
         --realizations 1 --models MeanVarModel --skip-online \
         --no-sweep --no-lores > "$LOGS/r4_op1_96_gz_train.log" 2>&1
     stamp "Operator1x96 GZ train exit=$?"
@@ -89,6 +91,7 @@ else stamp "backend down — skipped lores 48/64"; fi
 # ---- Stage 3: 96^2 GAN cells (the expensive trainings) ------------------
 if gate; then
     timeout 14400 $QUAL --cfg eddy --operator Operator1 --nx 96 \
+        --data-cap 150 \
         --realizations 1 --models CGANRegression --retain-every 10 \
         --no-sweep --no-lores > "$LOGS/r4_op1_96_gan.log" 2>&1
     stamp "Operator1x96 GAN exit=$?"
@@ -96,6 +99,7 @@ else stamp "backend down — skipped Op1x96 GAN"; fi
 
 if gate; then
     timeout 14400 $QUAL --cfg eddy --operator Operator2 --nx 96 \
+        --data-cap 150 \
         --realizations 1 --models CGANRegression --retain-every 10 \
         --no-sweep --no-lores > "$LOGS/r4_op2_96_gan.log" 2>&1
     stamp "Operator2x96 GAN exit=$?"
@@ -104,6 +108,7 @@ else stamp "backend down — skipped Op2x96 GAN"; fi
 # ---- Stage 4: 96^2 VAE cells --------------------------------------------
 if gate; then
     timeout 14400 $QUAL --cfg eddy --operator Operator1 --nx 96 \
+        --data-cap 150 \
         --realizations 1 --models CVAERegression --no-sweep --no-lores \
         > "$LOGS/r4_op1_96_vae.log" 2>&1
     stamp "Operator1x96 VAE exit=$?"
@@ -111,6 +116,7 @@ else stamp "backend down — skipped Op1x96 VAE"; fi
 
 if gate; then
     timeout 14400 $QUAL --cfg eddy --operator Operator2 --nx 96 \
+        --data-cap 150 \
         --realizations 1 --models CVAERegression --no-sweep --no-lores \
         > "$LOGS/r4_op2_96_vae.log" 2>&1
     stamp "Operator2x96 VAE exit=$?"

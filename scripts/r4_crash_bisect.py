@@ -105,6 +105,11 @@ def main():
                     help="96^2 probes only (the known-bad cell + the pallas "
                          "escape hatch)")
     ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--max-crashes", type=int, default=2,
+                    help="stop escalating after this many crash/timeout "
+                         "probes — the round-3 pool wedge followed MANY "
+                         "repeated worker crashes; a couple of isolated "
+                         "crashes were always survivable")
     args = ap.parse_args()
 
     from pyqg_generative_tpu.utils.health import backend_alive
@@ -130,10 +135,15 @@ def main():
         with open(OUT) as f:
             results = json.load(f)
 
+    n_bad = sum(1 for v in results.values() if v["status"] != "ok")
     for nx, n_ens, steps, diags, backend in probes:
         key = f"nx{nx}-ens{n_ens}-steps{steps}-" \
               f"{'diag' if diags else 'nodiag'}-{backend}"
         if key in results:
+            continue
+        if n_bad >= args.max_crashes and backend == "xla":
+            print(f"[bisect] {n_bad} crashes recorded — skipping further "
+                  f"xla escalation ({key})", flush=True)
             continue
         if not backend_alive(timeout=120):
             print(f"[bisect] backend down before {key} — stopping early "
@@ -142,6 +152,8 @@ def main():
         print(f"[bisect] {key} ...", flush=True)
         rec = run_probe(nx, n_ens, steps, diags, backend, args.timeout)
         results[key] = rec
+        if rec["status"] != "ok":
+            n_bad += 1
         print(f"[bisect] {key}: {rec['status']} ({rec['seconds']}s)",
               flush=True)
         os.makedirs(os.path.dirname(OUT), exist_ok=True)
