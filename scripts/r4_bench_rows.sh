@@ -1,0 +1,22 @@
+#!/bin/bash
+# Measured on-chip throughput table for all three closure families x
+# {xla, pallas:dx} online backends (VERDICT round-3 item 6: the fused
+# GZ/VAE backends shipped exactness-tested but never timed on-chip).
+# Writes one JSON line per row to data_r2/bench_rows.jsonl (stdout) with
+# the MFU note on stderr (captured too).
+set -u
+cd /root/repo
+OUT=data_r2/bench_rows.jsonl
+: > "$OUT"
+run() {
+    echo "### $*" >> "$OUT"
+    timeout 580 python bench.py "$@" >> "$OUT" 2>&1
+    echo "rc=$? for: $*"
+}
+run --model-folder trained_models/eddy_gan_64 --backend xla
+run --model-folder trained_models/eddy_gan_64 --backend pallas:dx
+run --nx 48 --model-folder trained_models/eddy_gz_48 --backend xla
+run --nx 48 --model-folder trained_models/eddy_gz_48 --backend pallas:dx
+run --nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend xla
+run --nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend pallas:dx
+echo "bench rows done -> $OUT"
