@@ -19,4 +19,8 @@ run --nx 48 --model-folder trained_models/eddy_gz_48 --backend xla
 run --nx 48 --model-folder trained_models/eddy_gz_48 --backend pallas:dx
 run --nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend xla
 run --nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend pallas:dx
+# ensemble-width scaling of the fused pallas path (round-3 xla numbers:
+# 10 -> 10.1k, 20 -> 12.8k, 40 -> 20.7k member-steps/s)
+run --model-folder trained_models/eddy_gan_64 --backend pallas:dx --members 20
+run --model-folder trained_models/eddy_gan_64 --backend pallas:dx --members 40
 echo "bench rows done -> $OUT"
