@@ -250,6 +250,42 @@ class CVAERegression(Parameterization):
 # --------------------------------------------------------------------------
 
 
+def make_vae_loss(net: CVAERegression):
+    """The sigma-VAE objective as a pure function of (params, bstats, key,
+    batch, train) — shared by train_CVAE and the vmapped multi-replica
+    trainer (ml.multifit). Reference models/cvae_regression.py:141-176
+    (recon + KL with adaptive decoder variance)."""
+
+    def loss_fn(params, bstats, kz, x, y, ymean, train):
+        mu, logvar, bstats = net._encode_train(params, bstats, x, y, train)
+        std = jnp.exp(0.5 * logvar)
+        var = std ** 2
+        eps = jax.random.normal(kz, std.shape)
+        z = eps * std + mu
+        yhat, bstats = net._decode_train(params, bstats, x, z, train)
+        if net.regression != "None":
+            yhat = yhat + ymean
+
+        b = x.shape[0]
+        KL_pointwise = 0.5 * (mu ** 2 + var - 1.0 - logvar)
+        MSE_pointwise = (yhat - y) ** 2
+        if net.decoder_var == "adaptive":
+            var_p = jax.lax.stop_gradient(MSE_pointwise.mean())
+        elif net.decoder_var == "fixed":
+            var_p = 1.0
+        else:
+            var_p = float(net.decoder_var)
+        loss_recon = MSE_pointwise.reshape(b, -1).sum(-1).mean() / (2.0 * var_p)
+        loss_KL = KL_pointwise.reshape(b, -1).sum(-1).mean()
+        loss = loss_recon + loss_KL
+        metrics = {"loss": loss, "loss_recon": loss_recon, "loss_KL": loss_KL,
+                   "MSE": MSE_pointwise.mean(), "var_latent": var.mean(),
+                   "var_aggr": mu.var() + var.mean()}
+        return loss, (metrics, bstats)
+
+    return loss_fn
+
+
 def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
                num_epochs: int, batch_size: int, learning_rate: float,
                nruns=5, verbose=True, key: int = 0,
@@ -278,32 +314,7 @@ def train_CVAE(net: CVAERegression, ds_train, ds_test, X_train, Y_train,
 
     Xd, Yd, Md = map(jnp.asarray, (X_train, Y_train, Y_mean))
 
-    def loss_fn(params, bstats, kz, x, y, ymean, train):
-        mu, logvar, bstats = net._encode_train(params, bstats, x, y, train)
-        std = jnp.exp(0.5 * logvar)
-        var = std ** 2
-        eps = jax.random.normal(kz, std.shape)
-        z = eps * std + mu
-        yhat, bstats = net._decode_train(params, bstats, x, z, train)
-        if net.regression != "None":
-            yhat = yhat + ymean
-
-        b = x.shape[0]
-        KL_pointwise = 0.5 * (mu ** 2 + var - 1.0 - logvar)
-        MSE_pointwise = (yhat - y) ** 2
-        if net.decoder_var == "adaptive":
-            var_p = jax.lax.stop_gradient(MSE_pointwise.mean())
-        elif net.decoder_var == "fixed":
-            var_p = 1.0
-        else:
-            var_p = float(net.decoder_var)
-        loss_recon = MSE_pointwise.reshape(b, -1).sum(-1).mean() / (2.0 * var_p)
-        loss_KL = KL_pointwise.reshape(b, -1).sum(-1).mean()
-        loss = loss_recon + loss_KL
-        metrics = {"loss": loss, "loss_recon": loss_recon, "loss_KL": loss_KL,
-                   "MSE": MSE_pointwise.mean(), "var_latent": var.mean(),
-                   "var_aggr": mu.var() + var.mean()}
-        return loss, (metrics, bstats)
+    loss_fn = make_vae_loss(net)
 
     def train_epoch(carry, perm, ekey, Xd, Yd, Md):
         def body(c, inp):

@@ -29,29 +29,39 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-def train_stage(cfg, op, nx, models, realizations, data_cap=300,
-                transfer_cfg=None, retain_every=0):
-    from pyqg_generative_tpu.models import MODEL_REGISTRY
+def load_split(cfg, op, nx, data_cap=300):
+    """Train/val/test datasets for one (configuration, operator, nx) cell.
+
+    Reference splits: 0-250 train / 250-275 validate / 275-300 test
+    (tools/train_model.py:41-46), scaled to the available run count, with
+    the reference's small-dataset duplication (tools/train_model.py:41-44).
+    """
     from pyqg_generative_tpu.utils import xrlite as xr
 
     data = os.path.join(BASE, cfg, f"{op}-{nx}-dealias", "*.npz")
     ds = xr.open_mfdataset(data, "run")
     nrun = min(ds["q"].sizes()["run"], data_cap)
     ds = ds.isel(run=slice(0, nrun))
-    # reference splits: 0-250 train / 250-275 validate / 275-300 test
-    # (tools/train_model.py:41-46), scaled to the available run count
     cuts = [int(f * nrun) for f in (0.833, 0.917)]
     ds_train = ds.isel(run=slice(0, cuts[0]))
     ds_val = ds.isel(run=slice(cuts[0], cuts[1]))
     ds_test = ds.isel(run=slice(cuts[1], nrun))
     if cuts[0] < 250:
-        # small-dataset duplication (reference tools/train_model.py:41-44)
         nstacks = max(1, 250 // cuts[0])
         if nstacks > 1:
             ds_train = xr.concat([ds_train] * nstacks, "run")
     log(f"data {cfg}/{op}-{nx}: {nrun} runs "
         f"({cuts[0]}/{cuts[1] - cuts[0]}/{nrun - cuts[1]}; train stacked to "
         f"{ds_train['q'].sizes()['run']})")
+    return ds_train, ds_val, ds_test
+
+
+def train_stage(cfg, op, nx, models, realizations, data_cap=300,
+                transfer_cfg=None, retain_every=0):
+    from pyqg_generative_tpu.models import MODEL_REGISTRY
+    from pyqg_generative_tpu.utils import xrlite as xr
+
+    ds_train, ds_val, ds_test = load_split(cfg, op, nx, data_cap)
 
     ds_transfer = None
     if transfer_cfg:
