@@ -13,22 +13,30 @@ SCORE="python -u scripts/r3_online_score.py"
 stamp() { echo "[$(date +%H:%M:%S)] $*"; }
 
 gate() {
+    if [ -f /tmp/r4_soft_deadline ] && \
+       [ "$(date +%s)" -ge "$(cat /tmp/r4_soft_deadline)" ]; then
+        stamp "soft deadline passed — refusing to start a new stage"
+        return 1
+    fi
     python -c "
 from pyqg_generative_tpu.utils.health import wait_for_backend
 import sys
 sys.exit(0 if wait_for_backend(deadline_s=900) else 1)"
 }
 
-# ---- Stage 0: recapture the one bench row that hit a transient probe
-#      false-negative (axon releases the device slowly between clients) ---
-if gate; then
-    echo "### --nx 48 --model-folder trained_models/eddy_gz_48 --backend xla (recapture)" \
-        >> data_r2/bench_rows.jsonl
-    timeout 580 python bench.py --nx 48 \
-        --model-folder trained_models/eddy_gz_48 --backend xla \
-        >> data_r2/bench_rows.jsonl 2>&1
-    stamp "GZ xla bench recapture exit=$?"
-fi
+# ---- Stage 0: recapture the bench rows that hit transient probe
+#      false-negatives (axon releases the device slowly between clients) --
+for ROW in \
+    "--nx 48 --model-folder trained_models/eddy_gz_48 --backend xla" \
+    "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend xla" \
+    "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend pallas:dx"
+do
+    if gate; then
+        echo "### $ROW (recapture)" >> data_r2/bench_rows.jsonl
+        timeout 580 python bench.py $ROW >> data_r2/bench_rows.jsonl 2>&1
+        stamp "bench recapture [$ROW] exit=$?"
+    fi
+done
 
 # ---- Stage 1: GZ cells at 48^2 and 64^2, both operator pairings ---------
 for OP in Operator1 Operator2; do

@@ -16,6 +16,11 @@ MDIR=data_r2/eddy/models_Operator1_48
 stamp() { echo "[$(date +%H:%M:%S)] $*"; }
 
 gate() {
+    if [ -f /tmp/r4_soft_deadline ] && \
+       [ "$(date +%s)" -ge "$(cat /tmp/r4_soft_deadline)" ]; then
+        stamp "soft deadline passed — refusing to start a new stage"
+        return 1
+    fi
     python -c "
 from pyqg_generative_tpu.utils.health import wait_for_backend
 import sys

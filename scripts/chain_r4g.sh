@@ -18,6 +18,11 @@ SCORE="python -u scripts/r3_online_score.py"
 stamp() { echo "[$(date +%H:%M:%S)] $*"; }
 
 gate() {
+    if [ -f /tmp/r4_soft_deadline ] && \
+       [ "$(date +%s)" -ge "$(cat /tmp/r4_soft_deadline)" ]; then
+        stamp "soft deadline passed — refusing to start a new stage"
+        return 1
+    fi
     python -c "
 from pyqg_generative_tpu.utils.health import wait_for_backend
 import sys
@@ -39,12 +44,10 @@ for OP in Operator1 Operator2; do
     else stamp "backend down — skipped GZ $OP x96"; fi
 done
 
-# ---- Stage 2: crash-bisect boundary table ---------------------------------
-if gate; then
-    timeout 7200 python -u scripts/r4_crash_bisect.py --quick \
-        > "$LOGS/r4_crash_bisect.log" 2>&1
-    stamp "crash bisect exit=$?"
-else stamp "backend down — skipped bisect"; fi
+# ---- Stage 2 (crash-bisect) moved to chain_r4h.sh: it deliberately
+#      crashes the TPU worker, so it must run LAST in the round, after
+#      every productive stage (round-3 lesson: repeated worker crashes
+#      wedged the axon pool and killed both driver gates). ----------------
 
 # ---- Stage 3: 96^2 GAN, Op1+Op2 vmapped ----------------------------------
 if gate; then
