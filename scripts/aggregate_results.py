@@ -26,15 +26,42 @@ PUBLISHED_48 = {  # reference Google-Colab/online-simulations.ipynb cells 30-33
 
 
 def family(key):
-    if "lores" in key:
+    k = key.lower()
+    if "lores" in k:
         return "lores"
-    if "CGAN" in key:
+    if "cgan" in k or "gan" in k:
         return "GAN"
-    if "CVAE" in key:
+    if "cvae" in k or "vae" in k:
         return "VAE"
-    if "MeanVar" in key:
+    if "meanvar" in k or "_gz_" in k or k.startswith("gz"):
         return "GZ"
+    if "ols" in k:
+        return "OLS"
+    if "ann" in k:
+        return "ANN"
     return key
+
+
+# Cell provenance for the committed trained_models/ folders (operator, nx)
+# — data_r2 model folders carry the cell in their path; these don't.
+TRAINED_CELLS = {
+    "eddy_gan_48_op1": ("Operator1", 48),
+    "eddy_gan_48_op1_stable": ("Operator1", 48),
+    "eddy_vae_48_op1": ("Operator1", 48),
+    "eddy_gan_48": ("Operator2", 48),
+    "eddy_gan_48_stable": ("Operator2", 48),
+    "eddy_gan_48_r3": ("Operator2", 48),
+    "eddy_vae_48": ("Operator2", 48),
+    "eddy_vae_48_r2": ("Operator2", 48),
+    "eddy_gz_48": ("Operator2", 48),
+    "colab_gan_48": ("Operator1", 48),
+    "colab_vae_48": ("Operator1", 48),
+    "colab_gz_48": ("Operator1", 48),
+    "eddy_gan_64": ("Operator2", 64),
+    "eddy_gan_64_r3": ("Operator2", 64),
+    "jet_gan_48": ("Operator2", 48),
+    "jet_gan_48_r1": ("Operator2", 48),
+}
 
 
 def collect_metrics(cfg, op="Operator2", nx=48):
@@ -73,18 +100,84 @@ def online_tables():
                            key=lambda kv: kv[1]["distrib_score"]):
             print(f"| {k} | {v['distrib_score']:.3f} | "
                   f"{v['spectral_score']:.3f} |")
+        if cfg != "eddy":
+            continue  # published anchors exist for the eddy config only
         best = {}
         for k, v in results.items():
+            folder = k.split("/")[0]
+            cell = TRAINED_CELLS.get(folder)
+            if cell is not None and cell[1] != 48:
+                continue  # published anchors are 48^2
             f = family(k)
             if f not in best or v["distrib_score"] < best[f][1]:
                 best[f] = (k, v["distrib_score"], v["spectral_score"])
-        print("\nBest per family vs published (48^2 eddy):\n")
+        print("\nBest per family vs published (48^2 eddy, "
+              "any operator pairing):\n")
         print("| family | this framework | published |")
         print("|---|---|---|")
         for f, (k, d, s) in sorted(best.items()):
             pub = PUBLISHED_48.get(f)
             pubs = f"{pub[0]:.3f} / {pub[1]:.3f}" if pub else "--"
             print(f"| {f} | {d:.3f} / {s:.3f} ({k}) | {pubs} |")
+
+
+def matrix_status_table():
+    """The reference's 18-cell online matrix ({GZ,GAN,VAE} x {Op1,Op2} x
+    {48,64,96}, scripts/run_parameterized.py:38-44): best closure row per
+    cell, with the per-resolution lores baseline for context."""
+    print("\n### Matrix status — eddy, best row per "
+          "(model x operator x resolution) cell\n")
+    print("| operator | nx | GZ | GAN | VAE | lores |")
+    print("|---|---|---|---|---|---|")
+    for op in ("Operator1", "Operator2"):
+        for nx in (48, 64, 96):
+            cell = {}
+
+            def add(key, v):
+                f = family(key)
+                if f not in ("GZ", "GAN", "VAE", "lores"):
+                    return
+                if f not in cell or v["distrib_score"] < \
+                        cell[f][1]["distrib_score"]:
+                    cell[f] = (key, v)
+
+            for f in glob.glob(os.path.join(
+                    BASE, "eddy", f"models_{op}_{nx}", "*",
+                    "metrics_*.json")):
+                model = os.path.basename(os.path.dirname(f))
+                try:
+                    add(model, json.load(open(f)))
+                except Exception:
+                    pass
+            for folder, (fop, fnx) in TRAINED_CELLS.items():
+                if folder.startswith("colab") or \
+                        folder.startswith("jet") or \
+                        (fop, fnx) != (op, nx):
+                    continue
+                for f in glob.glob(os.path.join(
+                        "/root/repo/trained_models", folder,
+                        "metrics_*.json")):
+                    try:
+                        add(folder, json.load(open(f)))
+                    except Exception:
+                        pass
+            suffix = "-op1" if op == "Operator1" else ""
+            lf = os.path.join(BASE, "eddy", f"lores_{nx}",
+                              f"metrics_eddy-none-0{suffix}.json")
+            if os.path.exists(lf):
+                try:
+                    add("lores", json.load(open(lf)))
+                except Exception:
+                    pass
+            cells = []
+            for fam in ("GZ", "GAN", "VAE", "lores"):
+                if fam in cell:
+                    k, v = cell[fam]
+                    cells.append(f"{v['distrib_score']:.3f}/"
+                                 f"{v['spectral_score']:.3f} ({k})")
+                else:
+                    cells.append("—")
+            print(f"| {op} | {nx} | " + " | ".join(cells) + " |")
 
 
 def breadth_table():
@@ -185,6 +278,7 @@ def forecast_tables():
 
 if __name__ == "__main__":
     online_tables()
+    matrix_status_table()
     breadth_table()
     offline_tables()
     forecast_tables()
