@@ -29,7 +29,9 @@ sys.exit(0 if wait_for_backend(deadline_s=900) else 1)"
 for ROW in \
     "--nx 48 --model-folder trained_models/eddy_gz_48 --backend xla" \
     "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend xla" \
-    "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend pallas:dx"
+    "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend pallas:dx" \
+    "--model-folder trained_models/eddy_gan_64 --backend xla --members 20" \
+    "--model-folder trained_models/eddy_gan_64 --backend xla --members 40"
 do
     if gate; then
         echo "### $ROW (recapture)" >> data_r2/bench_rows.jsonl
