@@ -47,9 +47,10 @@ run_chain() {
     stamp "$name exit=$?"
 }
 
-run_chain chain_r4g
-run_chain chain_r4f
-run_chain chain_r4i
-run_chain chain_r4h
+run_chain chain_r4g   # GZ 96^2 cells via fused pallas (cheap, 2 cells)
+run_chain chain_r4f   # Operator1-48 5-seed spread study
+run_chain chain_r4j   # 96^2 GAN/VAE legs (vmapped)
+run_chain chain_r4i   # jet breadth
+run_chain chain_r4h   # endgame: lores-128, crash bisect, final health
 
 stamp "master done"
