@@ -83,7 +83,17 @@ def main():
     # whole timeout inside jax.devices().
     from pyqg_generative_tpu.utils.health import backend_alive
     platform = "cpu" if args.cpu else None
-    if not backend_alive(timeout=90.0, platform=platform):
+    # 3 attempts: the axon pool releases a finished client's device grant
+    # lazily, so a single 90 s probe right after another process exits can
+    # false-negative; a REAL wedge (round-3 postmortem) still fails fast
+    # (~5 min total, vs the 25-minute in-process hang this replaces).
+    alive = False
+    for attempt in range(3):
+        if backend_alive(timeout=90.0, platform=platform):
+            alive = True
+            break
+        time.sleep(20.0)
+    if not alive:
         print(json.dumps({
             "metric": f"gan_online_member_steps_per_s_{args.nx}sq_"
                       f"{args.members}member",

@@ -28,6 +28,19 @@ import sys
 sys.exit(0 if wait_for_backend(deadline_s=900) else 1)"
 }
 
+# ---- Stage 0: the two VAE bench rows that false-negatived twice in
+#      chain_r4e stage 0 (bench.py now retries its health probe) ----------
+for ROW in \
+    "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend xla" \
+    "--nx 48 --model-folder trained_models/eddy_vae_48_op1 --backend pallas:dx"
+do
+    if gate; then
+        echo "### $ROW (recapture 2)" >> data_r2/bench_rows.jsonl
+        timeout 580 python bench.py $ROW >> data_r2/bench_rows.jsonl 2>&1
+        stamp "bench recapture [$ROW] exit=$?"
+    fi
+done
+
 # ---- Stage 1: GZ 96^2 cells, online via fused pallas ---------------------
 for OP in Operator1 Operator2; do
     if gate; then
