@@ -1,0 +1,33 @@
+#!/bin/bash
+# Promote every campaign-trained model under data_r2/ into trained_models/
+# (git-tracked) so the round's trainings survive the machine snapshot
+# (round-3 lesson: data_r2 is gitignored and dies with the round).
+# Idempotent — re-promoting overwrites with the latest weights/metrics.
+# Usage: bash scripts/r4_promote_all.sh
+set -u
+cd /root/repo
+
+shopt -s nullglob
+for cfg in eddy jet; do
+    for mdir in data_r2/$cfg/models_Operator*_*/*-*; do
+        [ -d "$mdir" ] || continue
+        grid=$(basename "$(dirname "$mdir")")     # models_Operator1_48
+        op=${grid#models_Operator}; op=${op%%_*}  # 1
+        nx=${grid##*_}                            # 48
+        name=$(basename "$mdir")                  # CGANRegression-0
+        seed=${name##*-}
+        case $name in
+            CGANRegression-*) fam=gan ;;
+            CVAERegression-*) fam=vae ;;
+            MeanVarModel-*)   fam=gz ;;
+            OLSModel-*)       fam=ols ;;
+            ANNModel-*)       fam=ann ;;
+            *)                fam=$(echo "$name" | tr 'A-Z' 'a-z') ;;
+        esac
+        # skip folders with no weights yet (training still running)
+        ls "$mdir"/*.msgpack >/dev/null 2>&1 || continue
+        dst=trained_models/r4_${cfg}_${fam}_${nx}_op${op}_s${seed}
+        python scripts/promote_model.py "$mdir" "$dst"
+    done
+done
+echo "promotion sweep done"
