@@ -313,11 +313,27 @@ def main():
     stage = online_stage if args.no_isolate else online_stage_isolated
     results = stage(cfg, op, nx, jobs)
 
+    def _merge_write(out, new_rows):
+        """Merge into any existing quality JSON instead of clobbering it:
+        separate invocations per model family share one per-cell file, and
+        an overwrite loses the other families' rows (lost the GZ Op1-64
+        row on 2026-08-18 until restored from the stage log)."""
+        merged = {}
+        if os.path.exists(out):
+            try:
+                with open(out) as fh:
+                    merged = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                pass
+        merged.update(new_rows)
+        with open(out, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        return merged
+
     # decorrelation sweep on the best GAN realization
     if args.no_sweep:
         out = os.path.join(BASE, cfg, f"quality_{op}_{nx}.json")
-        with open(out, "w") as fh:
-            json.dump(results, fh, indent=1)
+        _merge_write(out, results)
         log("wrote", out, "(no sweep)")
         return
     best_gan, best_score = None, 1e9
@@ -338,8 +354,7 @@ def main():
         results.update(stage(cfg, op, nx, sweep))
 
     out = os.path.join(BASE, cfg, f"quality_{op}_{nx}.json")
-    with open(out, "w") as fh:
-        json.dump(results, fh, indent=1)
+    results = _merge_write(out, results)
     log("wrote", out)
     for k, v in sorted(results.items(),
                        key=lambda kv: kv[1]["distrib_score"]):
