@@ -13,7 +13,10 @@ import sys
 KEEP_EXT = {".msgpack", ".json", ".npz"}
 SKIP_DIRS = True  # online ensembles live in subfolders — skip them
 SKIP_FILES = {"gan_train_ckpt.npz", "vae_train_ckpt.npz",
-              "gan_multi_ckpt.npz", "vae_multi_ckpt.npz"}
+              "gan_multi_ckpt.npz", "vae_multi_ckpt.npz",
+              # full-field offline datasets are hundreds of MB — the
+              # scalar scores live in metrics JSONs / VALIDATION tables
+              "offline_test.npz", "offline_transfer.npz"}
 
 
 def promote(src, dst, keep_bank=False):
