@@ -64,6 +64,20 @@ TRAINED_CELLS = {
 }
 
 
+def trained_cell(folder):
+    """(operator, nx) provenance of a trained_models/ folder name. Promoted
+    round-4 folders carry it in the name: r4_{cfg}_{fam}_{nx}_op{N}_s{seed}."""
+    if folder in TRAINED_CELLS:
+        return TRAINED_CELLS[folder]
+    if folder.startswith("r4_"):
+        parts = folder.split("_")
+        try:
+            return (f"Operator{parts[4][2:]}", int(parts[3]))
+        except (IndexError, ValueError):
+            return None
+    return None
+
+
 def collect_metrics(cfg, op="Operator2", nx=48):
     """Merge every metrics_*.json under the config's model/lores folders."""
     results = {}
@@ -89,7 +103,8 @@ def collect_metrics(cfg, op="Operator2", nx=48):
 
 def online_tables():
     for cfg in ("eddy", "jet"):
-        name = f"all metrics (Operator2-48)"
+        name = ("all collected runs, each scored vs its own cell's "
+                "coarse-grained reference target")
         results = collect_metrics(cfg)
         if not results:
             continue
@@ -105,7 +120,7 @@ def online_tables():
         best = {}
         for k, v in results.items():
             folder = k.split("/")[0]
-            cell = TRAINED_CELLS.get(folder)
+            cell = trained_cell(folder)
             if cell is not None and cell[1] != 48:
                 continue  # published anchors are 48^2
             f = family(k)
