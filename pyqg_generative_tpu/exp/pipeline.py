@@ -296,6 +296,25 @@ def train_ANN(base: str, configurations=("eddy", "jet"),
     return model
 
 
+def coarse_target_cached(reference_glob: str, operator: str,
+                         resolution: int) -> "xr.Dataset":
+    """Coarse-grained reference target for one (operator, resolution) cell,
+    built on demand and cached next to the reference runs (the reference
+    builds it eagerly in scripts/compute_online_metrics.py:19-48; lazy
+    construction lets probes/scorers run before any metrics stage has)."""
+    cache = os.path.join(os.path.dirname(reference_glob),
+                         f".coarse_{operator}_{resolution}.npz")
+    if os.path.exists(cache):
+        return xr.Dataset.from_npz(cache)
+    ref = xr.open_mfdataset(reference_glob, "run")
+    target = coarsegrain_reference_dataset(ref, resolution, operator)
+    try:
+        target.to_npz(cache)  # to_npz is atomic (tmp + os.replace inside)
+    except OSError:
+        pass
+    return target
+
+
 def compute_online_metrics(base: str, model_folder: str, reference_glob: str,
                            operator: str, resolution: int,
                            subfolder: str = "online",
@@ -304,19 +323,7 @@ def compute_online_metrics(base: str, model_folder: str, reference_glob: str,
     (reference scripts/compute_online_metrics.py:19-48)."""
     model_ds = xr.open_mfdataset(
         os.path.join(model_folder, subfolder, "*.npz"), "run")
-    cache = os.path.join(os.path.dirname(reference_glob),
-                         f".coarse_{operator}_{resolution}.npz")
-    if os.path.exists(cache):
-        target = xr.Dataset.from_npz(cache)
-    else:
-        ref = xr.open_mfdataset(reference_glob, "run")
-        target = coarsegrain_reference_dataset(ref, resolution, operator)
-        try:
-            tmp = cache + ".tmp"
-            target.to_npz(tmp)
-            os.replace(tmp, cache)
-        except OSError:
-            pass
+    target = coarse_target_cached(reference_glob, operator, resolution)
     norm, diffs, scales = diagnostic_differences(model_ds, target, T=T)
     from ..eval.comparison import distrib_score, spectral_score
     norm["distrib_score"] = distrib_score(norm)

@@ -391,7 +391,17 @@ class Dataset:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
-        np.savez(path, **payload)
+        # np.savez appends ".npz" to a bare *path* (which silently broke
+        # callers doing their own write-to-tmp + os.replace atomicity: the
+        # tmp file materialized under a different name and the replace
+        # failed). Normalize the suffix, write through a file object (no
+        # suffix games), and publish atomically ourselves.
+        if not path.endswith(".npz"):
+            path += ".npz"
+        tmp = path + ".part"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
 
     # alias mirroring the reference's netcdf emission points
     to_netcdf = to_npz

@@ -38,18 +38,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", required=True)
     ap.add_argument("--cfg", default="eddy")
-    ap.add_argument("--operator", default="Operator1")
-    ap.add_argument("--nx", type=int, default=48)
-    ap.add_argument("--dt", type=float, default=7200.0)
+    ap.add_argument("--operator", default=None,
+                    help="default: inferred from the model path's "
+                         "models_{Operator}_{nx} component")
+    ap.add_argument("--nx", type=int, default=None)
+    ap.add_argument("--dt", type=float, default=None,
+                    help="default: 7200 at 48^2 (published), dt-table above")
     ap.add_argument("--probe-years", type=float, default=3.0)
     ap.add_argument("--years", type=float, default=20.0)
     ap.add_argument("--n-ens", type=int, default=10)
     args = ap.parse_args()
 
+    # Infer (operator, nx) from the first model's models_{op}_{nx} path
+    # component — the 2026-08-18 chain probed a 64^2 model against the
+    # 48^2 default target because the flags were omitted.
+    cell = None
+    for part in os.path.normpath(args.models[0]).split(os.sep):
+        if part.startswith("models_Operator"):
+            op_name, nx_s = part[len("models_"):].rsplit("_", 1)
+            cell = (op_name, int(nx_s))
+    if args.operator is None:
+        if cell is None:
+            ap.error("--operator not given and not inferable from the "
+                     "model path")
+        args.operator = cell[0]
+    if args.nx is None:
+        if cell is None:
+            ap.error("--nx not given and not inferable from the model path")
+        args.nx = cell[1]
+    if cell is not None and (args.operator, args.nx) != cell:
+        log(f"WARNING: flags ({args.operator},{args.nx}) disagree with "
+            f"model path cell {cell}")
+    if args.dt is None:
+        args.dt = 7200.0 if args.nx == 48 else 14400.0 if args.nx <= 64 \
+            else 7200.0
+
+    from pyqg_generative_tpu.exp.pipeline import coarse_target_cached
     ref_glob = os.path.join(BASE, args.cfg, "reference_256", "*.npz")
-    cache = os.path.join(BASE, args.cfg, "reference_256",
-                         f".coarse_{args.operator}_{args.nx}.npz")
-    target = xr.Dataset.from_npz(cache)
+    target = coarse_target_cached(ref_glob, args.operator, args.nx)
     tq = target["q"].values
     q_init = np.asarray(tq[0, -1] if tq.ndim == 5 else tq[-1],
                         np.float64)      # (lev, nx, nx) last snapshot, run 0
