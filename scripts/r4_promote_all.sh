@@ -27,7 +27,10 @@ for cfg in eddy jet; do
         # skip folders with no weights yet (training still running)
         ls "$mdir"/*.msgpack >/dev/null 2>&1 || continue
         dst=trained_models/r4_${cfg}_${fam}_${nx}_op${op}_s${seed}
-        python scripts/promote_model.py "$mdir" "$dst"
+        # epoch banks feed select_stable_epoch next round — keep them
+        bank=""
+        [ -d "$mdir/epoch_bank" ] && bank="--keep-bank"
+        python scripts/promote_model.py "$mdir" "$dst" $bank
     done
 done
 echo "promotion sweep done"

@@ -113,3 +113,29 @@ def test_attrs_propagate_through_arithmetic():
     assert (da + da).attrs["units"] == "m"
     assert da.mean("x").attrs["units"] == "m"
     assert da.isel(x=slice(0, 2)).attrs["units"] == "m"
+
+
+def test_to_npz_atomic_and_suffix_exact(tmp_path):
+    """np.savez appends '.npz' to bare paths, which silently defeated the
+    write-tmp-then-os.replace pattern in exp.pipeline (the coarse-target
+    cache never materialized and every scorer rebuilt it from the 256^2
+    reference). to_npz must normalize the suffix, publish atomically, and
+    leave no partial file behind."""
+    import os
+
+    import numpy as np
+    from pyqg_generative_tpu.utils import xrlite as xr
+
+    ds = xr.Dataset({"a": xr.DataArray(np.arange(4.0), ("x",))})
+
+    bare = str(tmp_path / "cache")          # no .npz suffix
+    ds.to_npz(bare)
+    assert os.path.exists(bare + ".npz")
+    assert not os.path.exists(bare)          # nothing under the bare name
+    assert ds.from_npz(bare + ".npz")["a"].values[3] == 3.0
+
+    exact = str(tmp_path / "cache2.npz")
+    ds.to_npz(exact)
+    assert os.path.exists(exact)
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".part")]
+    assert leftovers == []                   # tmp was replaced, not orphaned
