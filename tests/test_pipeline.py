@@ -137,3 +137,32 @@ def test_cli_train_and_parameterized(tmp_path):
     ds = xr.Dataset.from_npz(os.path.join(online, "0.npz"))
     assert "paramspec" in ds
     assert np.isfinite(ds["q"].values).all()
+
+
+def test_coarse_target_cached_builds_then_loads(tmp_path):
+    """The on-demand coarse-target cache must materialize under its EXACT
+    name and be read back on the second call (regression: np.savez's
+    implicit '.npz' suffix broke the tmp+os.replace publish, the cache
+    never existed, and every scorer silently rebuilt the target from the
+    256^2 reference)."""
+    from pyqg_generative_tpu.exp.pipeline import coarse_target_cached
+
+    p_ref = QGParams(nx=32, dt=14400.0, tmax=40 * 14400.0,
+                     tavestart=10 * 14400.0, taveint=14400.0,
+                     precision="double")
+    ref = run_simulation(p_ref, sampling_freq=10 * 14400.0, key=3)
+    refdir = tmp_path / "reference_32"
+    refdir.mkdir()
+    ref.to_npz(str(refdir / "0.npz"))
+    glob_pat = str(refdir / "*.npz")
+
+    built = coarse_target_cached(glob_pat, "Operator2", 16)
+    cache = refdir / ".coarse_Operator2_16.npz"
+    assert cache.exists(), "cache must exist under its exact name"
+    assert not list(refdir.glob("*.part")) and \
+        not list(refdir.glob("*.tmp*")), "no orphaned partial files"
+
+    loaded = coarse_target_cached(glob_pat, "Operator2", 16)
+    np.testing.assert_array_equal(built["q"].values, loaded["q"].values)
+    np.testing.assert_allclose(built["KEspec"].values,
+                               loaded["KEspec"].values)
