@@ -94,8 +94,15 @@ def main():
             break
         time.sleep(20.0)
     if not alive:
+        # Derive a provisional family from the folder name so error rows in
+        # bench_rows.jsonl are not mislabeled as GAN (round-4 advisor): the
+        # r4 naming convention encodes the family in the folder name.
+        import os as _os
+        fname = _os.path.basename(_os.path.normpath(args.model_folder)).lower()
+        prov = next((f for f in ("gan", "vae", "gz", "ann", "ols")
+                     if f in fname.replace("cgan", "gan")), "unknown")
         print(json.dumps({
-            "metric": f"gan_online_member_steps_per_s_{args.nx}sq_"
+            "metric": f"{prov}_online_member_steps_per_s_{args.nx}sq_"
                       f"{args.members}member",
             "value": 0.0,
             "unit": "member-steps/s",

@@ -85,7 +85,13 @@ class _MultiCheckpointer:
     def maybe_save(self, epoch, carry, bests, logs, rngs, jkeys):
         if self.path is None or epoch % self.every:
             return
-        save_checkpoint(self.path, (carry, bests))
+        # The epoch is embedded in the npz itself AND written to the meta
+        # file, meta published LAST: a crash between the two writes leaves a
+        # newer carry with a stale meta, which restore() detects via the
+        # epoch disagreement and refuses — never a silent re-train on an
+        # already-advanced carry (round-4 advisor finding).
+        save_checkpoint(self.path,
+                        ((carry, bests), np.int64(epoch)))
         meta = {"epoch": int(epoch), "logs": logs,
                 "rng_states": [r.bit_generator.state for r in rngs],
                 "jkeys": [np.asarray(jax.device_get(k)).tolist()
@@ -99,9 +105,20 @@ class _MultiCheckpointer:
         if self.path is None or not os.path.exists(self.path) or \
                 not os.path.exists(self.path + ".meta.json"):
             return None
-        carry_bests = load_checkpoint(self.path, template)
+        try:
+            carry_bests, ck_epoch = load_checkpoint(
+                self.path, (template, np.int64(0)))
+        except (KeyError, ValueError, TypeError):
+            # legacy (pre-round-5) checkpoint without the embedded epoch:
+            # load it as before and trust the meta (old contract)
+            carry_bests, ck_epoch = load_checkpoint(self.path, template), None
         with open(self.path + ".meta.json") as f:
             meta = json.load(f)
+        if ck_epoch is not None and int(ck_epoch) != int(meta["epoch"]):
+            raise RuntimeError(
+                f"multifit checkpoint {self.path} is torn: carry epoch "
+                f"{int(ck_epoch)} != meta epoch {meta['epoch']} (crash "
+                f"between carry and meta writes) — delete both to restart")
         rngs = []
         for st in meta["rng_states"]:
             r = np.random.default_rng()

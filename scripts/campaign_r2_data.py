@@ -73,24 +73,34 @@ def forcing(base, configuration, n_runs, Nc=(48, 64),
     if n_runs_extra is None:
         n_runs_extra = n_runs
     for run0 in range(0, n_runs, batch):
-        runs = [r for r in range(run0, min(run0 + batch, n_runs))]
-        ncs = list(Nc) + [n for n in Nc_extra if run0 < n_runs_extra]
-        combos = [f"{op}-{nc}-dealias" for op in operators for nc in ncs]
-        paths = {(c, r): os.path.join(base, configuration, c, f"{r}.npz")
-                 for c in combos for r in runs}
-        todo = [r for r in runs
-                if not all(os.path.exists(paths[(c, r)]) for c in combos)]
-        if not todo:
-            continue
-        t0 = time.time()
-        outs = generate_subgrid_forcing_batch(
-            ncs, p, ANDREW_1000_STEPS, operators=operators, keys=todo)
-        for r, out in zip(todo, outs):
-            for c in combos:
-                os.makedirs(os.path.dirname(paths[(c, r)]), exist_ok=True)
-                out[c].to_npz(paths[(c, r)])
-        log(f"{configuration} forcing runs {todo[0]}..{todo[-1]} "
-            f"({len(todo)} members in {time.time() - t0:.0f}s)")
+        all_runs = list(range(run0, min(run0 + batch, n_runs)))
+        # Gate the extra (96^2) targets PER RUN, not per batch: a batch
+        # straddling n_runs_extra is split into a with-extras group and a
+        # base-only group, so no run past the threshold pays for 96^2
+        # targets and no complete base-only run is seen as incomplete
+        # (round-4 advisor finding).
+        groups = [[r for r in all_runs if r < n_runs_extra],
+                  [r for r in all_runs if r >= n_runs_extra]]
+        for gi, runs in enumerate(groups):
+            if not runs:
+                continue
+            ncs = list(Nc) + (list(Nc_extra) if gi == 0 else [])
+            combos = [f"{op}-{nc}-dealias" for op in operators for nc in ncs]
+            paths = {(c, r): os.path.join(base, configuration, c, f"{r}.npz")
+                     for c in combos for r in runs}
+            todo = [r for r in runs
+                    if not all(os.path.exists(paths[(c, r)]) for c in combos)]
+            if not todo:
+                continue
+            t0 = time.time()
+            outs = generate_subgrid_forcing_batch(
+                ncs, p, ANDREW_1000_STEPS, operators=operators, keys=todo)
+            for r, out in zip(todo, outs):
+                for c in combos:
+                    os.makedirs(os.path.dirname(paths[(c, r)]), exist_ok=True)
+                    out[c].to_npz(paths[(c, r)])
+            log(f"{configuration} forcing runs {todo[0]}..{todo[-1]} "
+                f"({len(todo)} members in {time.time() - t0:.0f}s)")
 
 
 def main():

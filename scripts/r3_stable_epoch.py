@@ -28,10 +28,10 @@ def log(*a):
 def main():
     import numpy as np
 
-    from pyqg_generative_tpu.exp.pipeline import compute_online_metrics
+    from pyqg_generative_tpu.exp.pipeline import (CONFIGURATIONS,
+                                                  compute_online_metrics)
     from pyqg_generative_tpu.models import load_model
-    from pyqg_generative_tpu.qg.params import (ANDREW_1000_STEPS,
-                                               EDDY_PARAMS, YEAR)
+    from pyqg_generative_tpu.qg.params import ANDREW_1000_STEPS, YEAR
     from pyqg_generative_tpu.sim.simulate import run_ensemble_segmented
     from pyqg_generative_tpu.utils import xrlite as xr
 
@@ -84,7 +84,9 @@ def main():
     if kespec.ndim == 4:
         kespec = kespec.mean(axis=0)
 
-    p = EDDY_PARAMS.with_nx(args.nx).replace(
+    # Physics params follow --cfg (round-4 advisor: probing a jet GAN with
+    # eddy physics would silently produce invalid jet validation artifacts).
+    p = CONFIGURATIONS[args.cfg].with_nx(args.nx).replace(
         tmax=args.years * YEAR, tavestart=5 * YEAR, dt=args.dt,
         precision="single")
 

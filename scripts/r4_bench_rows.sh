@@ -9,6 +9,17 @@ cd /root/repo
 OUT=data_r2/bench_rows.jsonl
 : > "$OUT"
 run() {
+    # Enforce the tool's own precondition (round-4 VERDICT weak #2): the
+    # axon pool releases a finished client's device grant lazily, so
+    # back-to-back rows false-negative the health probe. Wait for the
+    # backend BETWEEN rows instead of hoping the 3-attempt retry wins.
+    python -c "
+from pyqg_generative_tpu.utils.health import wait_for_backend
+import sys
+sys.exit(0 if wait_for_backend(deadline_s=900) else 1)" || {
+        echo "backend not back within 900s — skipping: $*"
+        return 1
+    }
     echo "### $*" >> "$OUT"
     timeout 580 python bench.py "$@" >> "$OUT" 2>&1
     echo "rc=$? for: $*"
