@@ -17,6 +17,7 @@ for cfg in eddy jet; do
         name=$(basename "$mdir")                  # CGANRegression-0
         seed=${name##*-}
         case $name in
+            CGANRegression-Unet-*) fam=gan_unet ;;
             CGANRegression-*) fam=gan ;;
             CVAERegression-*) fam=vae ;;
             MeanVarModel-*)   fam=gz ;;
