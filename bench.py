@@ -64,6 +64,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--model-folder",
                     default="/root/repo/trained_models/eddy_gan_64")
+    ap.add_argument("--infer-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype of the online pallas kernel "
+                         "(activations + matmul inputs; accumulation is "
+                         "always f32). float32 is the production default "
+                         "— the dtype every quality score in "
+                         "docs/VALIDATION.md ran at")
     ap.add_argument("--backend", default="pallas:dx",
                     help="online generator backend: 'pallas:dx' (default — "
                          "the fused roll-input VMEM-resident kernel, 2.0x "
@@ -148,8 +155,10 @@ def main():
     if args.backend.startswith("pallas"):
         model.online_backend = "pallas"
         model.online_variant = (args.backend.split(":", 1) + ["dx"])[1]
+        model._infer_dtype = jnp.bfloat16 \
+            if args.infer_dtype == "bfloat16" else jnp.float32
         model._pallas_cache = None
-        model_note += f" [{args.backend}]"
+        model_note += f" [{args.backend} {args.infer_dtype}]"
 
     n_snaps = max(1, args.steps // args.snap_every)
     steps_per_snap = args.snap_every
@@ -204,9 +213,9 @@ def main():
     path_note = ("BN-folded float32 online path — the same path scored in "
                  "docs/VALIDATION.md"
                  if args.backend == "xla" else
-                 "fused Pallas kernel (bf16 matmuls, f32 accumulation; "
-                 "exactness-tested vs the XLA path in "
-                 "tests/test_pallas_conv.py)")
+                 f"fused Pallas kernel ({args.infer_dtype} activations/"
+                 "matmuls, f32 accumulation; exactness-tested vs the XLA "
+                 "path in tests/test_pallas_conv.py)")
     print(f"# wall {dt_wall:.2f}s for {args.members} members x "
           f"{total_steps} steps at {args.nx}^2 "
           f"(~{sim_years_per_day:,.0f} member-sim-years/day); "

@@ -39,7 +39,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pack_folded_params", "fused_cnn_forward", "make_online_cnn"]
+__all__ = ["pack_folded_params", "fused_cnn_forward", "make_online_cnn",
+           "merge_folded_pair"]
+
+
+def merge_folded_pair(folded_a: dict, folded_b: dict) -> dict:
+    """Merge two BN-folded CNNs with identical layer structure into ONE
+    block-diagonal network over the channel dimension, so a single fused
+    kernel evaluates both (round-5 GZ optimization: the MeanVarModel online
+    step is two CNN forwards; its 32/64-channel layers pad to 128 lanes, so
+    two separate programs roll half-empty vectors and pay the per-program
+    overhead twice — the merged net fills the lanes and runs once).
+
+    Layer 0 (both nets read the SAME input): kernels concatenated along
+    cout. Layers 1..n: block-diagonal over (cin, cout) — the zero blocks
+    cost no extra MXU passes at these widths (contraction dims <= 128 pad
+    to the same tile either way). Outputs concatenate [out_a | out_b]."""
+    pa, pb = folded_a["params"], folded_b["params"]
+    n = len([k for k in pa if k.startswith("Conv_")])
+    assert n == len([k for k in pb if k.startswith("Conv_")]), \
+        "pair nets must have the same depth"
+    out = {}
+    for i in range(n):
+        ka = np.asarray(pa[f"Conv_{i}"]["kernel"])
+        kb = np.asarray(pb[f"Conv_{i}"]["kernel"])
+        ba = np.asarray(pa[f"Conv_{i}"].get("bias",
+                                            np.zeros(ka.shape[-1])))
+        bb = np.asarray(pb[f"Conv_{i}"].get("bias",
+                                            np.zeros(kb.shape[-1])))
+        assert ka.shape[:2] == kb.shape[:2], "pair nets must share K"
+        K, _, cina, couta = ka.shape
+        cinb, coutb = kb.shape[2], kb.shape[3]
+        if i == 0:
+            assert cina == cinb, "pair nets must share the input"
+            k = np.concatenate([ka, kb], axis=3)
+        else:
+            k = np.zeros((K, K, cina + cinb, couta + coutb), ka.dtype)
+            k[:, :, :cina, :couta] = ka
+            k[:, :, cina:, couta:] = kb
+        out[f"Conv_{i}"] = {"kernel": k,
+                            "bias": np.concatenate([ba, bb])}
+    return {"params": out}
 
 
 def pack_folded_params(folded: dict, compute_dtype=jnp.bfloat16):
@@ -137,6 +177,53 @@ def pack_folded_params_dx(folded: dict, compute_dtype=jnp.bfloat16):
     return weights, biases, tuple(meta)
 
 
+def _conv_dxb(act, w, K, cin, cout, H, W, cdtype, col):
+    """Roll-input path with bf16-BITCAST rolls (the round-2 headroom idea,
+    measured round 5): `pltpu.bitcast` packs sublane PAIRS of a bf16
+    (M, cin) array into one f32 (M/2, cin) word, so a roll by an even r
+    moves half the VPU bytes. Odd shifts reuse ONE shared 1-row precursor
+    roll per layer (roll(x, r) = roll(roll(x, 1), r - 1)), so K patched
+    bf16 rolls become 1 full-rate roll + 2K half-rate rolls. Identical
+    math to _conv_dx otherwise."""
+    c = K // 2
+    M = H * W
+    xb = act.astype(cdtype)
+    if cdtype == jnp.bfloat16 and M % 2 == 0:
+        xp_even = pltpu.bitcast(xb, jnp.float32)            # rows (2i,2i+1)
+        xp_odd = pltpu.bitcast(pltpu.roll(xb, 1, axis=0), jnp.float32)
+
+        def roll_in(r):
+            if r % 2 == 0:
+                z = pltpu.roll(xp_even, r // 2, axis=0) if r else xp_even
+            else:
+                z = pltpu.roll(xp_odd, (r - 1) // 2, axis=0) \
+                    if r != 1 else xp_odd
+            return pltpu.bitcast(z, cdtype)
+    else:  # packing needs bf16 + even M; fall back to plain rolls
+        def roll_in(r):
+            return pltpu.roll(xb, r, axis=0) if r else xb
+    z = None
+    for jdx, dx in enumerate(range(-c, K - c)):
+        b = (-dx) % W
+        if b == 0:
+            xs = xb
+        else:
+            xs = jnp.where(col[:, :cin] < b,
+                           roll_in((b - W) % M), roll_in(b))
+        y = jax.lax.dot_general(
+            xs, w[jdx * cin:(jdx + 1) * cin, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (M, K*cout)
+        z = y if z is None else z + y
+    acc = None
+    for jdy, dy in enumerate(range(-c, K - c)):
+        blk = z[:, jdy * cout:(jdy + 1) * cout]
+        r = ((-dy) * W) % M
+        zb = pltpu.roll(blk, r, axis=0) if r else blk
+        acc = zb if acc is None else acc + zb
+    return acc
+
+
 def _conv_dx(act, w, K, cin, cout, H, W, cdtype, col):
     """Roll-input path: K patched circular shifts of the INPUT (one per
     column offset dx, done in compute_dtype so bf16 halves the VPU bytes),
@@ -180,11 +267,13 @@ def _make_kernel(meta, H, W, compute_dtype, final_relu, variant="tap"):
         b_refs = refs[n:2 * n]
         out_ref = refs[2 * n]
         act = x_ref[:].reshape(H * W, meta[0][1]).astype(jnp.float32)
+        # wide enough for the widest layer (merged-pair nets exceed 128)
+        wmax = max(128, max(max(cin, cout) for (_, cin, cout) in meta))
         col = jax.lax.broadcasted_iota(
-            jnp.int32, (H * W, 128), 0) % W
-        conv = _conv_dx if variant == "dx" else _conv_out
+            jnp.int32, (H * W, wmax), 0) % W
+        conv = {"dx": _conv_dx, "dxb": _conv_dxb}.get(variant, _conv_out)
         for i, (K, cin, cout) in enumerate(meta):
-            if variant == "dx":
+            if variant in ("dx", "dxb"):
                 act = conv(act, w_refs[i][:], K, cin, cout, H, W,
                            compute_dtype, col)
             else:
@@ -315,7 +404,10 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
     * 'tap'    — per-member programs (vmap -> grid), per-tap output rolls;
     * 'dx'     — per-member programs, roll-input + dx-packed matmuls
                  (K patched + K clean rolls per layer instead of K^2
-                 patched; K-times-wider MXU results).
+                 patched; K-times-wider MXU results);
+    * 'dxb'    — 'dx' with the input rolls done on sublane-pair-packed
+                 f32 words via pltpu.bitcast (half the roll bytes; odd
+                 shifts share one 1-row precursor roll per layer).
 
     Returns apply(x) for x of shape (H, W, Cin) or (B, H, W, Cin),
     producing float32 (..., H, W, n_out). Each distinct batch size compiles
@@ -326,7 +418,8 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
     K0 = k0.shape[0]
     rest = {"params": {f"Conv_{i - 1}": params[f"Conv_{i}"]
                        for i in range(1, len(params))}}
-    pack = pack_folded_params_dx if variant == "dx" else pack_folded_params
+    pack = pack_folded_params_dx if variant in ("dx", "dxb") \
+        else pack_folded_params
     weights, biases, meta = pack(rest, compute_dtype)
     dt = jnp.dtype(compute_dtype).name
     n_out = meta[-1][2]
@@ -346,7 +439,7 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
             x = x[None]
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
         act = first_layer(x.astype(jnp.float32))
-        if variant in ("tap", "dx"):
+        if variant in ("tap", "dx", "dxb"):
             out = jax.vmap(
                 lambda xx: _fused_call(xx, weights, biases, meta, dt,
                                        interpret, variant=variant))(act)

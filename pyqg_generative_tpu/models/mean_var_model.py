@@ -127,24 +127,43 @@ class MeanVarModel(Parameterization):
                 self._pallas_cache[0] is not cache_key[0] or \
                 self._pallas_cache[1] is not cache_key[1]:
             from ..ml.nets import fold_batchnorm
-            from ..ml.pallas_conv import make_online_cnn
+            from ..ml.pallas_conv import make_online_cnn, merge_folded_pair
             interp = jax.default_backend() == "cpu"
-            fns = tuple(
-                make_online_cnn(fold_batchnorm(v),
-                                compute_dtype=self._infer_dtype,
-                                interpret=interp,
-                                variant=self.online_variant)
-                for v in cache_key)
+            if self.online_variant.endswith("pair"):
+                # ONE block-diagonal program for mean+var (fills the
+                # 128-lane tiles the 32/64-channel layers waste; halves
+                # the per-program overhead) — output [mean(2) | var(2)]
+                base = self.online_variant[:-len("pair")] or "dx"
+                merged = merge_folded_pair(fold_batchnorm(self.vars_mean),
+                                           fold_batchnorm(self.vars_var))
+                fpair = make_online_cnn(merged,
+                                        compute_dtype=self._infer_dtype,
+                                        interpret=interp, variant=base)
+                fns = (lambda x: fpair(x)[..., :2],
+                       lambda x: fpair(x)[..., 2:], fpair)
+            else:
+                fns = tuple(
+                    make_online_cnn(fold_batchnorm(v),
+                                    compute_dtype=self._infer_dtype,
+                                    interpret=interp,
+                                    variant=self.online_variant)
+                    for v in cache_key)
             self._pallas_cache = (*cache_key, fns)
         return self._pallas_cache[2]
 
     def predict_snapshot(self, q, noise):
         x = nhwc_from_lev(q).astype(jnp.float32) / jnp.asarray(self.x_scale.std)
         if self.online_backend == "pallas" and self.vars_mean["batch_stats"]:
-            fm, fv = self._online_fns()
-            # the kernel returns the final pre-activation conv; VarCNN's
-            # softplus head is elementwise, applied here (exact)
-            y = fm(x) + noise[None] * jnp.sqrt(jax.nn.softplus(fv(x)))
+            fns = self._online_fns()
+            if len(fns) == 3:          # fused mean+var pair program
+                y4 = fns[2](x)
+                y = y4[..., :2] + noise[None] * jnp.sqrt(
+                    jax.nn.softplus(y4[..., 2:]))
+            else:
+                fm, fv = fns
+                # the kernel returns the final pre-activation conv;
+                # VarCNN's softplus head is elementwise, applied here
+                y = fm(x) + noise[None] * jnp.sqrt(jax.nn.softplus(fv(x)))
         else:
             y = self._apply_mean(x) + noise[None] * jnp.sqrt(self._apply_var(x))
         return lev_from_nhwc(y * jnp.asarray(self.y_scale.std)).astype(q.dtype)

@@ -225,3 +225,68 @@ def test_vae_pallas_backend_matches_xla(tmp_path):
     assert f_pal.shape == f_xla.shape
     np.testing.assert_allclose(f_pal, f_xla, rtol=1e-3,
                                atol=1e-4 * np.abs(f_xla).max())
+
+
+def test_fused_kernel_dxb_bitcast_rolls_match_dx(net_and_params):
+    """'dxb' (bf16 input rolls done on sublane-pair-packed f32 words via
+    pltpu.bitcast — the round-2 recorded headroom idea, measured round 5)
+    computes the IDENTICAL math to 'dx': same matmuls, same select, only
+    the roll implementation differs — outputs must agree exactly."""
+    from pyqg_generative_tpu.ml.pallas_conv import pack_folded_params_dx
+    net_eval, _, folded = net_and_params
+    w, b, meta = pack_folded_params_dx(folded, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, NX, NX, 4),
+                          jnp.float32)
+    out_dx = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                          compute_dtype=jnp.bfloat16,
+                                          interpret=True, variant="dx"))
+    out_dxb = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                           compute_dtype=jnp.bfloat16,
+                                           interpret=True, variant="dxb"))
+    np.testing.assert_array_equal(out_dx, out_dxb)
+
+
+def test_make_online_cnn_dxb(net_and_params):
+    """Production dxb path matches flax to bf16 statistical precision."""
+    from pyqg_generative_tpu.ml.pallas_conv import make_online_cnn
+    net_eval, _, folded = net_and_params
+    x = jax.random.normal(jax.random.PRNGKey(10), (3, NX, NX, 4),
+                          jnp.float32)
+    ref = np.asarray(_xla_forward(net_eval, folded, x))
+    apply = make_online_cnn(folded, compute_dtype=jnp.bfloat16,
+                            interpret=True, variant="dxb")
+    out = np.asarray(apply(x))
+    rel = np.sqrt(np.mean((out - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rel < 0.02, rel
+
+
+def test_gz_pallas_pair_variant_matches_xla(tmp_path):
+    """MeanVarModel(online_variant='dxpair') — mean+var merged into ONE
+    block-diagonal program (merge_folded_pair) — matches the XLA path as
+    tightly as the two-program 'dx' backend (round-5 GZ optimization)."""
+    from pyqg_generative_tpu.models import MeanVarModel
+
+    def build(backend, variant="dx"):
+        m = MeanVarModel(hidden_channels=(8, 8),
+                         folder=str(tmp_path / "none"),
+                         online_backend=backend, online_variant=variant)
+        key = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((1, NX, NX, 2))
+        mk = lambda t: {"params": t["params"],
+                        "batch_stats": t.get("batch_stats", {})}
+        m.vars_mean = mk(m.net_mean.init(key, x0, train=True))
+        m.vars_var = mk(m.net_var.init(jax.random.PRNGKey(3), x0,
+                                       train=True))
+        from pyqg_generative_tpu.ml.scalers import ChannelwiseScaler
+        m.x_scale = ChannelwiseScaler.from_stats([0.0, 0.0], [1e-5, 1e-5])
+        m.y_scale = ChannelwiseScaler.from_stats([0.0, 0.0], [1e-11, 1e-11])
+        return m
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, NX, NX),
+                          jnp.float32) * 1e-5
+    z = jax.random.normal(jax.random.PRNGKey(2), (NX, NX, 2), jnp.float32)
+    f_xla = np.asarray(build("xla").predict_snapshot(q, z))
+    f_pair = np.asarray(build("pallas", "dxpair").predict_snapshot(q, z))
+    assert f_pair.shape == f_xla.shape
+    np.testing.assert_allclose(f_pair, f_xla, rtol=1e-3,
+                               atol=1e-4 * np.abs(f_xla).max())
