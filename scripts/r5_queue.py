@@ -100,8 +100,12 @@ def gate(stage):
         soft = read_deadline(SOFT, hard)
         if now >= soft:
             return False, "soft deadline passed"
-    if now + int(stage.get("timeout", 600)) > hard + 1800:
-        return False, "stage could not finish before hard deadline + grace"
+    # NOTE: a long-timeout stage MAY start even if it cannot finish before
+    # the hard deadline — quiescence is the watchdog's job (it kills the
+    # runner's whole process group at the hard deadline) and every stage
+    # command is restart-safe (checkpointed trainers, skip-existing
+    # generators/scorers, atomic to_npz). Refusing such stages wasted the
+    # tail of round 4's window.
     if stage.get("backend", True):
         r = subprocess.run(
             [sys.executable, "-c",
@@ -113,14 +117,30 @@ def gate(stage):
     return True, ""
 
 
+def bump_attempts(sid):
+    adir = os.path.join(QDIR, "attempts")
+    os.makedirs(adir, exist_ok=True)
+    path = os.path.join(adir, sid)
+    try:
+        with open(path) as f:
+            n = int(f.read().strip())
+    except (OSError, ValueError):
+        n = 0
+    with open(path, "w") as f:
+        f.write(str(n + 1))
+    return n + 1
+
+
 def run_stage(stage):
     sid = stage["id"]
     log_path = os.path.join(LOGS, f"r5_{sid}.log")
     t0 = time.time()
-    stamp(f"stage {sid}: START (timeout {stage.get('timeout', 600)}s) "
-          f"-> {log_path}")
+    attempt = bump_attempts(sid)
+    stamp(f"stage {sid}: START attempt {attempt} "
+          f"(timeout {stage.get('timeout', 600)}s) -> {log_path}")
     with open(log_path, "a") as lf:
-        lf.write(f"\n==== {time.strftime('%F %T')} stage {sid} ====\n")
+        lf.write(f"\n==== {time.strftime('%F %T')} stage {sid} "
+                 f"attempt {attempt} ====\n")
         lf.flush()
         try:
             r = subprocess.run(
@@ -132,10 +152,19 @@ def run_stage(stage):
             lf.write(f"runner exception: {e}\n")
             rc = -1
     wall = time.time() - t0
+    # retry support: a failed (or timed-out, rc=124) stage whose command is
+    # restartable (trainers resume from checkpoints, generators/scorers skip
+    # existing files) is NOT marked done until its attempts are exhausted —
+    # the next queue pass re-runs it and it continues where it stopped.
+    allowed = 1 + int(stage.get("retries", 0))
+    if rc != 0 and attempt < allowed:
+        stamp(f"stage {sid}: rc={rc} in {wall / 60:.1f} min — "
+              f"attempt {attempt}/{allowed}, will retry")
+        return rc
     os.makedirs(DONE, exist_ok=True)
     tmp = os.path.join(DONE, sid + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"rc": rc, "wall_s": round(wall, 1),
+        json.dump({"rc": rc, "wall_s": round(wall, 1), "attempts": attempt,
                    "finished": time.strftime("%F %T")}, f)
     os.replace(tmp, os.path.join(DONE, sid))
     stamp(f"stage {sid}: DONE rc={rc} in {wall / 60:.1f} min")
