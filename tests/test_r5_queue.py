@@ -99,7 +99,9 @@ def test_kill_mid_stage_then_restart_resumes_and_finishes(tmp_path):
 
 def test_second_runner_defers_to_the_lock_holder(tmp_path):
     _write_stages(tmp_path, [
-        {"id": "slow", "timeout": 60, "backend": False, "cmd": "sleep 6"},
+        # long enough that the second runner reliably spawns while the
+        # first still holds the lock, even on a heavily loaded machine
+        {"id": "slow", "timeout": 90, "backend": False, "cmd": "sleep 25"},
     ])
     p1 = _spawn(tmp_path)
     assert _wait_for(tmp_path / "q" / "state.json")
@@ -127,3 +129,40 @@ def test_soft_deadline_gates_productive_but_not_endgame_stages(tmp_path):
     assert not (tmp_path / "productive.out").exists()
     os.killpg(p.pid, signal.SIGTERM)
     p.wait(timeout=10)
+
+
+def test_failed_stage_with_retries_reruns_then_marks_done(tmp_path):
+    """A stage with `retries` is re-run on nonzero rc (restartable trainers
+    resume from checkpoints); the done marker appears only when it succeeds
+    or exhausts its attempts, and records the attempt count."""
+    counter = tmp_path / "attempts.txt"
+    # fails on attempt 1 (file has 1 line), succeeds on attempt 2
+    _write_stages(tmp_path, [
+        {"id": "flaky", "timeout": 30, "backend": False, "retries": 2,
+         "cmd": f"echo x >> {counter}; test $(wc -l < {counter}) -ge 2"},
+        {"id": "after", "timeout": 30, "backend": False,
+         "cmd": f"touch {tmp_path}/after.done"},
+    ])
+    p = _spawn(tmp_path)
+    assert p.wait(timeout=60) == 0
+    marker = json.load(open(tmp_path / "q" / "done" / "flaky"))
+    assert marker["rc"] == 0 and marker["attempts"] == 2
+    assert counter.read_text().count("x") == 2
+    assert os.path.exists(tmp_path / "after.done")
+
+
+def test_retries_exhausted_marks_done_with_failure_rc(tmp_path):
+    """A persistently failing stage does not wedge the queue: after its
+    attempts are exhausted it is marked done with the failing rc and the
+    queue moves on."""
+    _write_stages(tmp_path, [
+        {"id": "bad", "timeout": 30, "backend": False, "retries": 1,
+         "cmd": "exit 7"},
+        {"id": "next", "timeout": 30, "backend": False,
+         "cmd": f"touch {tmp_path}/next.done"},
+    ])
+    p = _spawn(tmp_path)
+    assert p.wait(timeout=60) == 0
+    marker = json.load(open(tmp_path / "q" / "done" / "bad"))
+    assert marker["rc"] == 7 and marker["attempts"] == 2
+    assert os.path.exists(tmp_path / "next.done")
