@@ -177,31 +177,74 @@ def pack_folded_params_dx(folded: dict, compute_dtype=jnp.bfloat16):
     return weights, biases, tuple(meta)
 
 
-def _conv_dxb(act, w, K, cin, cout, H, W, cdtype, col):
-    """Roll-input path with bf16-BITCAST rolls (the round-2 headroom idea,
-    measured round 5): `pltpu.bitcast` packs sublane PAIRS of a bf16
-    (M, cin) array into one f32 (M/2, cin) word, so a roll by an even r
-    moves half the VPU bytes. Odd shifts reuse ONE shared 1-row precursor
-    roll per layer (roll(x, r) = roll(roll(x, 1), r - 1)), so K patched
-    bf16 rolls become 1 full-rate roll + 2K half-rate rolls. Identical
-    math to _conv_dx otherwise."""
+def _conv_dxf(act, w, K, cin, cout, H, W, cdtype, col):
+    """Roll-input path with FLOAT32 rolls + compute_dtype matmuls: Mosaic's
+    dynamic_rotate lowers 32-bit element types only, so bf16-activation
+    rolls (variant 'dx' at compute_dtype=bfloat16) fail TPU compilation
+    ("tpu.dynamic_rotate ... vector<...xbf16>", r5_dxb_check round-5 log).
+    Rolling float32 and casting at the matmul input is bit-identical —
+    rolls/selects are permutations, which commute with the elementwise
+    cast — and still buys the 2x MXU rate of bf16 matmuls; only the roll
+    bytes stay at f32 rate (variant 'dxb' halves those too)."""
     c = K // 2
     M = H * W
-    xb = act.astype(cdtype)
-    if cdtype == jnp.bfloat16 and M % 2 == 0:
-        xp_even = pltpu.bitcast(xb, jnp.float32)            # rows (2i,2i+1)
-        xp_odd = pltpu.bitcast(pltpu.roll(xb, 1, axis=0), jnp.float32)
+    z = None
+    for jdx, dx in enumerate(range(-c, K - c)):
+        b = (-dx) % W
+        if b == 0:
+            xs = act
+        else:
+            x0 = pltpu.roll(act, b, axis=0)
+            x1 = pltpu.roll(act, (b - W) % M, axis=0)
+            xs = jnp.where(col[:, :cin] < b, x1, x0)
+        y = jax.lax.dot_general(
+            xs.astype(cdtype), w[jdx * cin:(jdx + 1) * cin, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (M, K*cout)
+        z = y if z is None else z + y
+    acc = None
+    for jdy, dy in enumerate(range(-c, K - c)):
+        blk = z[:, jdy * cout:(jdy + 1) * cout]
+        r = ((-dy) * W) % M
+        zb = pltpu.roll(blk, r, axis=0) if r else blk
+        acc = zb if acc is None else acc + zb
+    return acc
 
-        def roll_in(r):
-            if r % 2 == 0:
-                z = pltpu.roll(xp_even, r // 2, axis=0) if r else xp_even
-            else:
-                z = pltpu.roll(xp_odd, (r - 1) // 2, axis=0) \
-                    if r != 1 else xp_odd
-            return pltpu.bitcast(z, cdtype)
-    else:  # packing needs bf16 + even M; fall back to plain rolls
-        def roll_in(r):
-            return pltpu.roll(xb, r, axis=0) if r else xb
+
+def _conv_dxb(act, w, K, cin, cout, H, W, cdtype, col, low_first=True):
+    """Roll-input path with bf16-BITCAST rolls (the round-2 headroom idea):
+    `pltpu.bitcast` packs adjacent sublane PAIRS of the bf16 (M, cin)
+    activation into one 32-bit (M/2, cin) word, so a roll by an even r is
+    a word roll by r/2 — half the VPU bytes. Odd shifts roll ONE shared
+    odd-phase word array (rows (2i-1, 2i)) built with uint32 half-word
+    shifts — NOT a bf16 precursor roll, which Mosaic cannot lower (32-bit
+    dynamic_rotate only). `low_first` is the probed packing order
+    (`_bitcast_packing`): whether row 2i sits in the low 16 bits of word i.
+    Bit-identical to _conv_dxf (permutations commute with the cast)."""
+    c = K // 2
+    M = H * W
+    if jnp.dtype(cdtype) != jnp.dtype(jnp.bfloat16) or M % 2:
+        # no legal packed-roll layout — f32 rolls + cast, same math
+        return _conv_dxf(act, w, K, cin, cout, H, W, cdtype, col)
+    xb = act.astype(cdtype)
+    xp_even = pltpu.bitcast(xb, jnp.float32)        # word i = rows (2i,2i+1)
+    u = pltpu.bitcast(xb, jnp.uint32)
+    up = pltpu.roll(u, 1, axis=0)                   # word i-1
+    # odd-phase words: word i = rows (2i-1, 2i), same half order as `u`
+    odd = ((up >> 16) | (u << 16)) if low_first \
+        else ((up << 16) | (u >> 16))
+    xp_odd = pltpu.bitcast(odd, jnp.float32)
+
+    def roll_in(r):
+        # rows z[j] = xb[j - r]: even r -> word roll by r/2 of the even
+        # phase; odd r -> word roll by (r-1)/2 of the odd phase
+        if r % 2 == 0:
+            z = pltpu.roll(xp_even, r // 2, axis=0) if r else xp_even
+        else:
+            z = pltpu.roll(xp_odd, (r - 1) // 2, axis=0) \
+                if r != 1 else xp_odd
+        return pltpu.bitcast(z, cdtype)
+
     z = None
     for jdx, dx in enumerate(range(-c, K - c)):
         b = (-dx) % W
@@ -259,7 +302,57 @@ def _conv_dx(act, w, K, cin, cout, H, W, cdtype, col):
     return acc
 
 
-def _make_kernel(meta, H, W, compute_dtype, final_relu, variant="tap"):
+_PACK_CACHE: dict = {}
+
+
+def _bitcast_packing(interpret: bool) -> str:
+    """How `pltpu.bitcast` packs a (4, 128) bf16 array into (2, 128) uint32
+    words — 'adj_low' (word i = rows (2i, 2i+1) with row 2i in the LOW 16
+    bits), 'adj_high' (row 2i in the HIGH bits), or 'other' (e.g.
+    deinterleaved halves). The dxb packed-roll identities require
+    adjacent-pair packing; 'other' falls back to dxf semantics. Probed
+    empirically (one tiny kernel, cached) because the layout is a property
+    of the backend — Mosaic's sublane packing vs interpret-mode numpy."""
+    if interpret in _PACK_CACHE:
+        return _PACK_CACHE[interpret]
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(x_ref[:], jnp.uint32)
+
+    rows = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.bfloat16)  # 3F80 4000 4040 4080
+    x = jnp.broadcast_to(rows[:, None], (4, 128))
+    out = np.asarray(pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, 128), jnp.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x))
+    w0, w1 = int(out[0, 0]), int(out[1, 0])
+    if (w0, w1) == (0x40003F80, 0x40804040):
+        pack = "adj_low"
+    elif (w0, w1) == (0x3F804000, 0x40404080):
+        pack = "adj_high"
+    else:
+        pack = "other"
+    _PACK_CACHE[interpret] = pack
+    return pack
+
+
+def _resolve_variant(variant: str, interpret: bool):
+    """Resolve 'dxb' against the backend's probed bitcast packing: returns
+    (variant, low_first). Non-adjacent packing downgrades to 'dxf' (same
+    math, f32-rate rolls)."""
+    if variant != "dxb":
+        return variant, True
+    pack = _bitcast_packing(interpret)
+    if pack == "other":
+        return "dxf", True
+    return "dxb", pack == "adj_low"
+
+
+def _make_kernel(meta, H, W, compute_dtype, final_relu, variant="tap",
+                 low_first=True):
     n = len(meta)
 
     def kernel(x_ref, *refs):
@@ -271,9 +364,11 @@ def _make_kernel(meta, H, W, compute_dtype, final_relu, variant="tap"):
         wmax = max(128, max(max(cin, cout) for (_, cin, cout) in meta))
         col = jax.lax.broadcasted_iota(
             jnp.int32, (H * W, wmax), 0) % W
-        conv = {"dx": _conv_dx, "dxb": _conv_dxb}.get(variant, _conv_out)
+        conv = {"dx": _conv_dx, "dxf": _conv_dxf,
+                "dxb": partial(_conv_dxb, low_first=low_first)
+                }.get(variant, _conv_out)
         for i, (K, cin, cout) in enumerate(meta):
-            if variant in ("dx", "dxb"):
+            if variant in ("dx", "dxf", "dxb"):
                 act = conv(act, w_refs[i][:], K, cin, cout, H, W,
                            compute_dtype, col)
             else:
@@ -288,12 +383,13 @@ def _make_kernel(meta, H, W, compute_dtype, final_relu, variant="tap"):
 
 
 @partial(jax.jit, static_argnames=("meta", "compute_dtype", "interpret",
-                                   "final_relu", "variant"))
+                                   "final_relu", "variant", "low_first"))
 def _fused_call(x, weights, biases, meta, compute_dtype, interpret,
-                final_relu=False, variant="tap"):
+                final_relu=False, variant="tap", low_first=True):
     H, W = x.shape[0], x.shape[1]
     n_out = meta[-1][2]
-    kernel = _make_kernel(meta, H, W, compute_dtype, final_relu, variant)
+    kernel = _make_kernel(meta, H, W, compute_dtype, final_relu, variant,
+                          low_first)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W, n_out), jnp.float32),
@@ -311,15 +407,17 @@ def fused_cnn_forward(x, weights, biases, meta,
     """Run the fused CNN on x of shape (H, W, Cin) (single sample) or
     (B, H, W, Cin) (vmapped into the pallas grid). Returns float32
     (..., H, W, n_out). `variant`: 'tap' (per-tap output rolls, weights
-    from pack_folded_params) or 'dx' (roll-input, weights from
+    from pack_folded_params) or 'dx'/'dxf'/'dxb' (roll-input, weights from
     pack_folded_params_dx)."""
     dt = jnp.dtype(compute_dtype).name  # hashable static arg
+    variant, low_first = _resolve_variant(variant, interpret)
     if x.ndim == 4:
         return jax.vmap(
             lambda xx: _fused_call(xx, weights, biases, meta,
-                                   dt, interpret, variant=variant))(x)
+                                   dt, interpret, variant=variant,
+                                   low_first=low_first))(x)
     return _fused_call(x, weights, biases, meta, dt, interpret,
-                       variant=variant)
+                       variant=variant, low_first=low_first)
 
 
 def _make_packed_kernel(meta, H, W, B, compute_dtype):
@@ -404,10 +502,15 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
     * 'tap'    — per-member programs (vmap -> grid), per-tap output rolls;
     * 'dx'     — per-member programs, roll-input + dx-packed matmuls
                  (K patched + K clean rolls per layer instead of K^2
-                 patched; K-times-wider MXU results);
-    * 'dxb'    — 'dx' with the input rolls done on sublane-pair-packed
-                 f32 words via pltpu.bitcast (half the roll bytes; odd
-                 shifts share one 1-row precursor roll per layer).
+                 patched; K-times-wider MXU results); rolls run in
+                 compute_dtype — bf16 does NOT lower on TPU (Mosaic
+                 dynamic_rotate is 32-bit only), use 'dxf' there;
+    * 'dxf'    — 'dx' with float32 rolls and the cast at the matmul
+                 input (bit-identical; legal at bf16 on TPU);
+    * 'dxb'    — 'dxf' with the input rolls done on sublane-pair-packed
+                 32-bit words via pltpu.bitcast (half the roll bytes; odd
+                 shifts use a uint32 half-word-shifted odd-phase array);
+                 requires adjacent-pair packing (probed, else -> 'dxf').
 
     Returns apply(x) for x of shape (H, W, Cin) or (B, H, W, Cin),
     producing float32 (..., H, W, n_out). Each distinct batch size compiles
@@ -418,10 +521,11 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
     K0 = k0.shape[0]
     rest = {"params": {f"Conv_{i - 1}": params[f"Conv_{i}"]
                        for i in range(1, len(params))}}
-    pack = pack_folded_params_dx if variant in ("dx", "dxb") \
+    pack = pack_folded_params_dx if variant in ("dx", "dxf", "dxb") \
         else pack_folded_params
     weights, biases, meta = pack(rest, compute_dtype)
     dt = jnp.dtype(compute_dtype).name
+    variant, low_first = _resolve_variant(variant, interpret)
     n_out = meta[-1][2]
 
     def first_layer(xb):
@@ -439,10 +543,11 @@ def make_online_cnn(folded: dict, compute_dtype=jnp.bfloat16,
             x = x[None]
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
         act = first_layer(x.astype(jnp.float32))
-        if variant in ("tap", "dx", "dxb"):
+        if variant in ("tap", "dx", "dxf", "dxb"):
             out = jax.vmap(
                 lambda xx: _fused_call(xx, weights, biases, meta, dt,
-                                       interpret, variant=variant))(act)
+                                       interpret, variant=variant,
+                                       low_first=low_first))(act)
         else:
             # (B, H, W, C) -> member-packed (H*W, B*C)
             packed = act.reshape(B, H * W, -1).transpose(1, 0, 2) \

@@ -290,3 +290,39 @@ def test_gz_pallas_pair_variant_matches_xla(tmp_path):
     assert f_pair.shape == f_xla.shape
     np.testing.assert_allclose(f_pair, f_xla, rtol=1e-3,
                                atol=1e-4 * np.abs(f_xla).max())
+
+
+def test_fused_kernel_dxf_matches_dx_bf16_exactly(net_and_params):
+    """'dxf' (float32 rolls, cast at the matmul input) is a rewrite of 'dx'
+    where the permutation (roll/select) commutes with the elementwise cast —
+    outputs must be bit-identical at bf16. On real TPUs 'dx' at bf16 does
+    not lower (Mosaic dynamic_rotate handles 32-bit only, round-5
+    r5_dxb_check log), so 'dxf' is the on-chip bf16 roll-input path; this
+    pins its semantics in interpret mode where both variants run."""
+    from pyqg_generative_tpu.ml.pallas_conv import pack_folded_params_dx
+    net_eval, _, folded = net_and_params
+    w, b, meta = pack_folded_params_dx(folded, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, NX, NX, 4),
+                          jnp.float32)
+    out_dx = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                          compute_dtype=jnp.bfloat16,
+                                          interpret=True, variant="dx"))
+    out_dxf = np.asarray(fused_cnn_forward(x, w, b, meta,
+                                           compute_dtype=jnp.bfloat16,
+                                           interpret=True, variant="dxf"))
+    np.testing.assert_array_equal(out_dx, out_dxf)
+
+
+def test_bitcast_packing_probe_interpret():
+    """The packing probe classifies interpret-mode pltpu.bitcast into one of
+    the known layouts, and 'dxb' resolves to a packed layout or falls back
+    to 'dxf' — never to an illegal configuration."""
+    from pyqg_generative_tpu.ml.pallas_conv import (_bitcast_packing,
+                                                    _resolve_variant)
+    pack = _bitcast_packing(True)
+    assert pack in ("adj_low", "adj_high", "other")
+    variant, low_first = _resolve_variant("dxb", True)
+    if pack == "other":
+        assert variant == "dxf"
+    else:
+        assert variant == "dxb" and low_first == (pack == "adj_low")
