@@ -88,8 +88,11 @@ def write_state(stages, current=None, note=""):
 
 
 def gate(stage):
-    """Return (ok, reason). Productive stages refuse after the soft
-    deadline; endgame stages refuse within `margin` s of the hard one."""
+    """Return (ok, reason) from the DEADLINE gates only (backend health is
+    probed at most once per queue pass in main — a wedged backend must not
+    cost one 900 s probe per pending stage). Productive stages refuse after
+    the soft deadline; endgame stages refuse within `margin` s of the hard
+    one."""
     now = int(time.time())
     hard = read_deadline(HARD, now + 86400)
     if stage.get("endgame"):
@@ -106,15 +109,17 @@ def gate(stage):
     # command is restart-safe (checkpointed trainers, skip-existing
     # generators/scorers, atomic to_npz). Refusing such stages wasted the
     # tail of round 4's window.
-    if stage.get("backend", True):
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "from pyqg_generative_tpu.utils.health import wait_for_backend;"
-             "import sys; sys.exit(0 if wait_for_backend(deadline_s=900)"
-             " else 1)"], cwd=REPO)
-        if r.returncode != 0:
-            return False, "backend down after 900s of probing"
     return True, ""
+
+
+def probe_backend():
+    """One subprocess probe cycle (<= ~16 min when the pool is wedged)."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from pyqg_generative_tpu.utils.health import wait_for_backend;"
+         "import sys; sys.exit(0 if wait_for_backend(deadline_s=900)"
+         " else 1)"], cwd=REPO)
+    return r.returncode == 0
 
 
 def bump_attempts(sid):
@@ -199,8 +204,14 @@ def main():
             stamp("queue complete")
             return 0
         progressed = False
+        backend_ok = None   # lazily probed, at most once per pass
         for s in pending:
             ok, why = gate(s)
+            if ok and s.get("backend", True):
+                if backend_ok is None:
+                    backend_ok = probe_backend()
+                if not backend_ok:
+                    ok, why = False, "backend down after 900s of probing"
             if not ok:
                 if skipped_gate.get(s["id"]) != why:
                     stamp(f"stage {s['id']}: gated ({why})")
