@@ -319,15 +319,24 @@ def _bitcast_packing(interpret: bool) -> str:
     def kernel(x_ref, o_ref):
         o_ref[:] = pltpu.bitcast(x_ref[:], jnp.uint32)
 
-    rows = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.bfloat16)  # 3F80 4000 4040 4080
-    x = jnp.broadcast_to(rows[:, None], (4, 128))
-    out = np.asarray(pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((2, 128), jnp.uint32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x))
+    # The probe must yield a CONCRETE result even when _resolve_variant is
+    # reached during tracing (make_online_cnn is called from inside the
+    # scanned online step): all probe inputs are constants, so
+    # ensure_compile_time_eval executes the pallas_call eagerly instead of
+    # binding it into the ambient trace (round-5 fix — without this,
+    # `--backend pallas:dxb --infer-dtype bfloat16` died with
+    # TracerArrayConversionError on the uint32[2,128] probe output).
+    with jax.ensure_compile_time_eval():
+        rows = jnp.asarray([1.0, 2.0, 3.0, 4.0],
+                           jnp.bfloat16)  # 3F80 4000 4040 4080
+        x = jnp.broadcast_to(rows[:, None], (4, 128))
+        out = np.asarray(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2, 128), jnp.uint32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x))
     w0, w1 = int(out[0, 0]), int(out[1, 0])
     if (w0, w1) == (0x40003F80, 0x40804040):
         pack = "adj_low"

@@ -326,3 +326,33 @@ def test_bitcast_packing_probe_interpret():
         assert variant == "dxf"
     else:
         assert variant == "dxb" and low_first == (pack == "adj_low")
+
+
+def test_bitcast_packing_probe_under_trace():
+    """Regression (round 5): _resolve_variant is reached from INSIDE the
+    scanned online step (make_online_cnn is called during tracing), so the
+    packing probe must produce a concrete answer mid-trace. Without the
+    ensure_compile_time_eval guard this raised TracerArrayConversionError
+    on the uint32[2,128] probe output (bench_gan_dx{f,b}_bf16 stage
+    failures, data_r2/bench_rows.jsonl)."""
+    from pyqg_generative_tpu.ml.pallas_conv import (_PACK_CACHE,
+                                                    _resolve_variant)
+    _PACK_CACHE.clear()
+    try:
+        resolved = {}
+
+        @jax.jit
+        def f(x):
+            resolved["v"] = _resolve_variant("dxb", True)  # probe mid-trace
+            return x * 2.0
+
+        out = f(jnp.ones(3))
+        np.testing.assert_array_equal(np.asarray(out), 2.0)
+        variant, low_first = resolved["v"]
+        assert variant in ("dxb", "dxf")
+        assert isinstance(low_first, bool)
+        # and the cached answer matches an eager re-probe
+        eager = _resolve_variant("dxb", True)
+        assert eager == (variant, low_first)
+    finally:
+        _PACK_CACHE.clear()
