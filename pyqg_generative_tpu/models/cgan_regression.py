@@ -297,7 +297,11 @@ class CGANRegression(Parameterization):
         if self._fold_cache is None or \
                 self._fold_cache[0] is not self.vars_G:
             from ..ml.nets import fold_batchnorm
-            self._fold_cache = (self.vars_G, fold_batchnorm(self.vars_G))
+            # Fold eagerly even if first reached inside a trace — the
+            # cache must hold concrete arrays, not tracers.
+            with jax.ensure_compile_time_eval():
+                folded = fold_batchnorm(self.vars_G)
+            self._fold_cache = (self.vars_G, folded)
         return self._fold_cache[1]
 
     def predict_snapshot(self, q, noise):
@@ -310,10 +314,14 @@ class CGANRegression(Parameterization):
                     self._pallas_cache[0] is not ov:
                 from ..ml.pallas_conv import make_online_cnn
                 interp = jax.default_backend() == "cpu"
-                self._pallas_cache = (
-                    ov, make_online_cnn(ov, compute_dtype=self._infer_dtype,
-                                        interpret=interp,
-                                        variant=self.online_variant))
+                # First predict may happen inside a trace (sampler
+                # lax.cond refresh): pack eagerly so the cached closure
+                # captures concrete weights, not tracers.
+                with jax.ensure_compile_time_eval():
+                    fn = make_online_cnn(ov, compute_dtype=self._infer_dtype,
+                                         interpret=interp,
+                                         variant=self.online_variant)
+                self._pallas_cache = (ov, fn)
             y = self._pallas_cache[1](xin)
         else:
             # folded vars pair with the bn-less G_online module. (A

@@ -187,12 +187,15 @@ class CVAERegression(Parameterization):
             from ..ml.nets import fold_batchnorm
             from ..ml.pallas_conv import make_online_cnn
             interp = jax.default_backend() == "cpu"
-            self._pallas_cache = (
-                self.vars_dec,
-                make_online_cnn(fold_batchnorm(self.vars_dec),
-                                compute_dtype=self._infer_dtype,
-                                interpret=interp,
-                                variant=self.online_variant))
+            # First predict may happen inside a trace (sampler lax.cond
+            # refresh): fold/pack eagerly so the cached closure captures
+            # concrete weights, not tracers.
+            with jax.ensure_compile_time_eval():
+                fn = make_online_cnn(fold_batchnorm(self.vars_dec),
+                                     compute_dtype=self._infer_dtype,
+                                     interpret=interp,
+                                     variant=self.online_variant)
+            self._pallas_cache = (self.vars_dec, fn)
         return self._pallas_cache[1]
 
     def generate(self, x, z):

@@ -129,25 +129,30 @@ class MeanVarModel(Parameterization):
             from ..ml.nets import fold_batchnorm
             from ..ml.pallas_conv import make_online_cnn, merge_folded_pair
             interp = jax.default_backend() == "cpu"
-            if self.online_variant.endswith("pair"):
-                # ONE block-diagonal program for mean+var (fills the
-                # 128-lane tiles the 32/64-channel layers waste; halves
-                # the per-program overhead) — output [mean(2) | var(2)]
-                base = self.online_variant[:-len("pair")] or "dx"
-                merged = merge_folded_pair(fold_batchnorm(self.vars_mean),
-                                           fold_batchnorm(self.vars_var))
-                fpair = make_online_cnn(merged,
+            # The first predict may happen inside a trace (the sampler's
+            # lax.cond refresh in run_ensemble): fold/pack eagerly so the
+            # cached closure captures concrete weights, not tracers.
+            with jax.ensure_compile_time_eval():
+                if self.online_variant.endswith("pair"):
+                    # ONE block-diagonal program for mean+var (fills the
+                    # 128-lane tiles the 32/64-channel layers waste; halves
+                    # the per-program overhead) — output [mean(2) | var(2)]
+                    base = self.online_variant[:-len("pair")] or "dx"
+                    merged = merge_folded_pair(
+                        fold_batchnorm(self.vars_mean),
+                        fold_batchnorm(self.vars_var))
+                    fpair = make_online_cnn(merged,
+                                            compute_dtype=self._infer_dtype,
+                                            interpret=interp, variant=base)
+                    fns = (lambda x: fpair(x)[..., :2],
+                           lambda x: fpair(x)[..., 2:], fpair)
+                else:
+                    fns = tuple(
+                        make_online_cnn(fold_batchnorm(v),
                                         compute_dtype=self._infer_dtype,
-                                        interpret=interp, variant=base)
-                fns = (lambda x: fpair(x)[..., :2],
-                       lambda x: fpair(x)[..., 2:], fpair)
-            else:
-                fns = tuple(
-                    make_online_cnn(fold_batchnorm(v),
-                                    compute_dtype=self._infer_dtype,
-                                    interpret=interp,
-                                    variant=self.online_variant)
-                    for v in cache_key)
+                                        interpret=interp,
+                                        variant=self.online_variant)
+                        for v in cache_key)
             self._pallas_cache = (*cache_key, fns)
         return self._pallas_cache[2]
 

@@ -356,3 +356,52 @@ def test_bitcast_packing_probe_under_trace():
         assert eager == (variant, low_first)
     finally:
         _PACK_CACHE.clear()
+
+
+def test_pallas_cache_built_inside_trace_is_reusable(tmp_path):
+    """Regression (r5, gz96 online): run_ensemble's sampler refresh calls
+    predict_snapshot for the FIRST time inside a lax.cond trace, so the
+    lazily-built pallas cache (BN fold + weight packing) used to capture
+    tracers and the next segment's trace died with UnexpectedTracerError
+    (ml/pallas_conv.py:528 leak through models/*._online_fns). The cache
+    must hold concrete weights: build it inside jit, then reuse it both
+    eagerly and in a SECOND fresh trace."""
+    from pyqg_generative_tpu.models import MeanVarModel, CGANRegression
+    from pyqg_generative_tpu.ml.scalers import ChannelwiseScaler
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, NX, NX),
+                          jnp.float32) * 1e-5
+    z = jax.random.normal(jax.random.PRNGKey(2), (NX, NX, 2), jnp.float32)
+    scales = dict(x=ChannelwiseScaler.from_stats([0.0, 0.0], [1e-5, 1e-5]),
+                  y=ChannelwiseScaler.from_stats([0.0, 0.0], [1e-11, 1e-11]))
+
+    def check(m):
+        y_traced = np.asarray(jax.jit(m.predict_snapshot)(q, z))
+        # eager reuse of the cache built inside the trace
+        y_eager = np.asarray(m.predict_snapshot(q, z))
+        # a second, independent trace (run_ensemble_segmented's segment 2)
+        y_retrace = np.asarray(jax.jit(m.predict_snapshot)(q, z))
+        # eager-vs-jit may differ in the last f32 ulp (fusion order);
+        # values are ~1e-17-scale forcings, so pair rtol with a tiny atol
+        tol = dict(rtol=1e-4, atol=1e-21)
+        np.testing.assert_allclose(y_eager, y_traced, **tol)
+        np.testing.assert_allclose(y_retrace, y_traced, **tol)
+
+    gz = MeanVarModel(hidden_channels=(8, 8),
+                      folder=str(tmp_path / "gz"), online_backend="pallas")
+    x0 = jnp.zeros((1, NX, NX, 2))
+    mk = lambda t: {"params": t["params"],
+                    "batch_stats": t.get("batch_stats", {})}
+    gz.vars_mean = mk(gz.net_mean.init(jax.random.PRNGKey(0), x0,
+                                       train=True))
+    gz.vars_var = mk(gz.net_var.init(jax.random.PRNGKey(3), x0, train=True))
+    gz.x_scale, gz.y_scale = scales["x"], scales["y"]
+    check(gz)
+
+    gan = CGANRegression(nx=NX, folder=str(tmp_path / "gan"),
+                         hidden_channels=(8, 8), online_backend="pallas")
+    vG = gan.G.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, NX, NX, 2 + gan.n_latent)), train=True)
+    gan.vars_G = mk(vG)
+    gan.x_scale, gan.y_scale = scales["x"], scales["y"]
+    check(gan)
