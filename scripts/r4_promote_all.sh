@@ -25,8 +25,10 @@ for cfg in eddy jet; do
             ANNModel-*)       fam=ann ;;
             *)                fam=$(echo "$name" | tr 'A-Z' 'a-z') ;;
         esac
-        # skip folders with no weights yet (training still running)
-        ls "$mdir"/*.msgpack >/dev/null 2>&1 || continue
+        # skip folders with no weights yet (training still running);
+        # compgen, not ls: under nullglob an unmatched glob makes ls list
+        # the cwd and return 0, so the guard never fired
+        compgen -G "$mdir/*.msgpack" >/dev/null || continue
         dst=trained_models/r4_${cfg}_${fam}_${nx}_op${op}_s${seed}
         # epoch banks feed select_stable_epoch next round — keep them
         bank=""
